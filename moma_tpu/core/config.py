@@ -1,0 +1,297 @@
+"""Typed configuration tree + CLI bridge.
+
+Replaces the reference's per-entry-point argparse blobs
+(`train_student_moma.py:46-176`, `train_teacher.py:35-118`) and its
+hyperparameter-encoding directory names with one dataclass tree and named
+presets.  The CLI bridge accepts the reference's flag names (--model_s,
+--distill, -c/-d/-b, --nce_k, ...) so existing scripts port 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+# dataset -> number of classes (reference hardcodes this map at
+# train_student_moma.py:249-259)
+DATASET_NUM_CLASSES = {
+    "cifar100": 100,
+    "imagenet": 1000,
+    "prostate_hv": 4,
+    "prostate_ubc": 4,
+    "colon_tp": 4,
+    "crc_tp": 4,
+    "gastric": 8,
+    "panda_512": 4,
+    "kather19": 9,
+    "kather19_nonorm": 9,
+    "kather16": 9,
+    "aggc2022": 6,
+}
+
+# training-set sizes for CRD's n_data (reference hardcodes at
+# train_student_comparison.py:309-324); real manifests override these.
+DATASET_N_DATA = {
+    "cifar100": 50000,
+    "imagenet": 1281167,
+}
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "cifar100"
+    data_dir: str = "./data"
+    batch_size: int = 64
+    eval_batch_size: int = 0  # 0 => same as batch_size
+    num_workers: int = 4
+    image_size: int = 32
+    image_resize: bool = False
+    crop: float = 0.2  # RandomResizedCrop lower scale bound
+    aug_train: str = "RA"  # 'RA' | 'NULL'
+    ra_config: str = "rand-n2-m10-mstd0.5"
+    percent: float = 1.0  # subsample fraction (CRD sampling path)
+
+    @property
+    def n_cls(self) -> int:
+        return DATASET_NUM_CLASSES[self.dataset]
+
+
+@dataclass
+class ModelConfig:
+    name: str = "resnet20"
+    n_cls: int = 100
+    pretrain: Optional[str] = None  # checkpoint path or named preset
+    strict: bool = True  # False => drop classifier on load (cross-task)
+    dropout: float = 0.0
+
+
+@dataclass
+class OptimConfig:
+    learning_rate: float = 0.05
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    nesterov: bool = False
+    cosine: bool = False
+    lr_decay_rate: float = 0.1
+    lr_decay_epochs: Tuple[int, ...] = (150, 180, 210)
+    grad_clip: float = 0.0  # 0 => off
+    trust_ratio: float = 0.0  # reserved (LARS-style) — off by default
+
+
+@dataclass
+class DistillConfig:
+    distill: str = "kd"  # kd|hint|attention|similarity|vid|crd|semckd|srrl|simkd|nst|rkd|pkt|kdsvd|correlation|moma|ab|fsp|ft
+    kd_T: float = 4.0
+    cls: float = 1.0  # -c
+    div: float = 1.0  # -d
+    beta: float = 0.0  # -b
+    factor: int = 2  # -f SimKD bottleneck factor
+    soft: float = 1.0  # -s SemCKD attention scale
+    hint_layer: int = 1
+
+
+@dataclass
+class MomaConfig:
+    """MoMA / NCE options (reference: train_student_moma.py:100-136)."""
+
+    feat_dim: int = 512
+    nce_k: int = 16384
+    nce_t: float = 0.07  # forced to 0.15 when distill == 'moma'
+    nce_m: float = 0.5
+    alpha: float = 0.999  # EMA teacher momentum
+    mem: str = "MoCo"  # MoCo | MoCoST | MoCoSSTT | MoCoAtt
+    head: str = "mlp"  # None | linear | mlp | mlp_byol
+    attn: str = "self"  # self|self_mix|all|qk|dual|dual2|self_qk|self_qkv2|selfv2|none
+    mode: str = "exact"  # CRD positive mode: exact | relax
+    shuffle_bn: bool = True
+
+
+@dataclass
+class RunConfig:
+    epochs: int = 240
+    seed: int = 12345
+    print_freq: int = 100
+    save_dir: str = "./save"
+    trial: str = "0"
+    skip_test: bool = False
+    skip_validation: bool = False
+    resume: bool = False
+    half_precision: bool = True  # bf16 compute policy (TPU-native AMP)
+    sync_bn: bool = False  # cross-replica BN stats (deviation flag, see moma/shuffle_bn.py)
+    model_parallel: int = 1
+    log_every_n_steps: int = 50
+    donate: bool = True
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model_s: ModelConfig = field(default_factory=ModelConfig)
+    model_t: Optional[ModelConfig] = None
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    distill: DistillConfig = field(default_factory=DistillConfig)
+    moma: MomaConfig = field(default_factory=MomaConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def finalize(self) -> "Config":
+        """Apply cross-field derivations the reference bakes into parse_option."""
+        n_cls = DATASET_NUM_CLASSES.get(self.data.dataset, self.model_s.n_cls)
+        self.model_s.n_cls = n_cls
+        if self.model_t is not None:
+            self.model_t.n_cls = n_cls
+        if self.distill.distill == "moma":
+            # reference forces nce_t=0.15 for moma (train_student_moma.py:135-136)
+            self.moma.nce_t = 0.15
+        if self.data.eval_batch_size == 0:
+            self.data.eval_batch_size = self.data.batch_size
+        return self
+
+    @property
+    def run_name(self) -> str:
+        d = self.distill
+        parts = [
+            d.distill,
+            self.data.dataset,
+            self.model_s.name,
+            f"bs{self.data.batch_size}",
+            f"lr{self.optim.learning_rate}",
+            f"c{d.cls}_d{d.div}_b{d.beta}",
+            f"trial{self.run.trial}",
+        ]
+        if self.model_t is not None:
+            parts.insert(1, f"T-{self.model_t.name}")
+        return "_".join(parts)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def _add_common_flags(p: argparse.ArgumentParser):
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=240)
+    p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--learning_rate", type=float, default=0.05)
+    p.add_argument("--lr_decay_epochs", type=str, default="150,180,210")
+    p.add_argument("--lr_decay_rate", type=float, default=0.1)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--cosine", action="store_true")
+    p.add_argument("--dataset", type=str, default="cifar100")
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--aug_train", type=str, default="RA", choices=["NULL", "RA"])
+    p.add_argument("--crop", type=float, default=0.2)
+    p.add_argument("--image_size", type=int, default=32)
+    p.add_argument("--image_resize", action="store_true")
+    p.add_argument("--trial", type=str, default="0")
+    p.add_argument("--save_dir", type=str, default="./save")
+    p.add_argument("--skip_test", action="store_true")
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--sync_bn", action="store_true")
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+
+
+def _cfg_from_common(a) -> Config:
+    cfg = Config()
+    cfg.data = DataConfig(
+        dataset=a.dataset,
+        data_dir=a.data_dir,
+        batch_size=a.batch_size,
+        num_workers=a.num_workers,
+        image_size=a.image_size,
+        image_resize=a.image_resize,
+        crop=a.crop,
+        aug_train=a.aug_train,
+    )
+    cfg.optim = OptimConfig(
+        learning_rate=a.learning_rate,
+        momentum=a.momentum,
+        weight_decay=a.weight_decay,
+        cosine=a.cosine,
+        lr_decay_rate=a.lr_decay_rate,
+        lr_decay_epochs=tuple(int(x) for x in a.lr_decay_epochs.split(",")),
+    )
+    cfg.run = RunConfig(
+        epochs=a.epochs,
+        seed=a.seed,
+        print_freq=a.print_freq,
+        save_dir=a.save_dir,
+        trial=a.trial,
+        skip_test=a.skip_test,
+        half_precision=not a.fp32,
+        sync_bn=a.sync_bn,
+        model_parallel=a.model_parallel,
+        resume=a.resume,
+    )
+    return cfg
+
+
+def parse_teacher_args(argv=None) -> Config:
+    """CLI mirroring train_teacher.py:35-118."""
+    p = argparse.ArgumentParser("moma_tpu train_teacher")
+    _add_common_flags(p)
+    p.add_argument("--model", type=str, default="resnet20")
+    p.add_argument("--pretrain", type=str, default=None)
+    p.add_argument("--not_strict", action="store_true")
+    a = p.parse_args(argv)
+    cfg = _cfg_from_common(a)
+    cfg.model_s = ModelConfig(name=a.model, pretrain=a.pretrain, strict=not a.not_strict)
+    return cfg.finalize()
+
+
+def parse_student_args(argv=None) -> Config:
+    """CLI mirroring train_student_moma.py:46-176 / train_student_comparison.py."""
+    p = argparse.ArgumentParser("moma_tpu train_student")
+    _add_common_flags(p)
+    p.add_argument("--model_s", type=str, default="resnet8x4")
+    p.add_argument("--model_t", type=str, default="resnet32x4")
+    p.add_argument("--path_t", type=str, default=None)
+    p.add_argument("--std_pre", type=str, default=None)
+    p.add_argument("--std_strict", action="store_false", dest="std_strict")
+    p.add_argument("--tec_pre", type=str, default=None)
+    p.add_argument("--tec_strict", action="store_false", dest="tec_strict")
+    p.add_argument("--distill", type=str, default="kd")
+    p.add_argument("--kd_T", type=float, default=4.0)
+    p.add_argument("-c", "--cls", type=float, default=1.0)
+    p.add_argument("-d", "--div", type=float, default=1.0)
+    p.add_argument("-b", "--beta", type=float, default=0.0)
+    p.add_argument("-f", "--factor", type=int, default=2)
+    p.add_argument("-s", "--soft", type=float, default=1.0)
+    p.add_argument("--hint_layer", type=int, default=1, choices=[0, 1, 2, 3, 4])
+    p.add_argument("--feat_dim", type=int, default=512)
+    p.add_argument("--mode", type=str, default="exact", choices=["exact", "relax"])
+    p.add_argument("--nce_k", type=int, default=16384)
+    p.add_argument("--nce_t", type=float, default=0.07)
+    p.add_argument("--nce_m", type=float, default=0.5)
+    p.add_argument("--alpha", type=float, default=0.999)
+    p.add_argument(
+        "--mem", type=str, default="MoCo",
+        choices=["MoCo", "MoCoST", "MoCoSSTT", "MoCoAtt"],
+    )
+    p.add_argument(
+        "--head", type=str, default="None",
+        choices=["None", "linear", "mlp", "mlp_byol"],
+    )
+    p.add_argument("--attn", type=str, default="self")
+    p.add_argument("--no_shuffle_bn", action="store_true")
+    a = p.parse_args(argv)
+    cfg = _cfg_from_common(a)
+    cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre, strict=a.std_strict)
+    cfg.model_t = ModelConfig(
+        name=a.model_t, pretrain=a.path_t or a.tec_pre, strict=a.tec_strict
+    )
+    cfg.distill = DistillConfig(
+        distill=a.distill, kd_T=a.kd_T, cls=a.cls, div=a.div, beta=a.beta,
+        factor=a.factor, soft=a.soft, hint_layer=a.hint_layer,
+    )
+    cfg.moma = MomaConfig(
+        feat_dim=a.feat_dim, nce_k=a.nce_k, nce_t=a.nce_t, nce_m=a.nce_m,
+        alpha=a.alpha, mem=a.mem, head=a.head, attn=a.attn, mode=a.mode,
+        shuffle_bn=not a.no_shuffle_bn,
+    )
+    return cfg.finalize()

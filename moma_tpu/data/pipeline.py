@@ -1,0 +1,119 @@
+"""Host-side batch pipeline: arrays in RAM -> shuffled uint8 device batches.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(dataset/histo_dataset.py:372-419).  Because augmentation is on-device
+(data/augment.py), the host work per batch is a single fancy-index gather
+of uint8 rows — there is no per-sample Python transform, so no worker
+pool is needed for in-memory datasets.  File-backed datasets use the
+native prefetching reader in moma_tpu/data/native (later milestone).
+
+Sharding: the loader yields GLOBAL batches; the caller device_puts them
+with a batch-sharded NamedSharding, so each chip receives only its shard
+(jax slices the host array — the TPU equivalent of DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class ArrayDataset:
+    """(images uint8 NHWC, labels int64/int32) fully materialized in RAM."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert images.shape[0] == labels.shape[0]
+        assert images.ndim == 4, "NHWC expected"
+        self.images = images
+        self.labels = labels.astype(np.int32)
+
+    def __len__(self):
+        return self.images.shape[0]
+
+
+def synthetic_dataset(
+    n: int, image_size: int, n_cls: int, seed: int = 0
+) -> ArrayDataset:
+    """Deterministic fake data for tests/benchmarks (no dataset downloads
+    are possible in the build environment)."""
+    rng = np.random.RandomState(seed)
+    images = rng.randint(0, 256, (n, image_size, image_size, 3), dtype=np.uint8)
+    labels = rng.randint(0, n_cls, (n,)).astype(np.int32)
+    return ArrayDataset(images, labels)
+
+
+class Loader:
+    """Epoch iterator over an ArrayDataset.
+
+    train=True: per-epoch reshuffle (seeded — the reference's
+    sampler.set_epoch equivalent), drop_last to keep shapes static.
+    train=False: sequential; final ragged batch is padded and the 'mask'
+    entry marks valid rows.
+    Extra per-index arrays (e.g. CRD contrast indices) can be attached via
+    `extras` — dict name -> (n, ...) array gathered with the batch.
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        train: bool,
+        seed: int = 0,
+        extras: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.epoch = 0
+        self.extras = extras or {}
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.train:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    @property
+    def n_samples(self):
+        return len(self.ds)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.ds)
+        bs = self.batch_size
+        if self.train:
+            order = np.random.RandomState(
+                (self.seed * 100003 + self.epoch) % (2**31)
+            ).permutation(n)
+            for i in range(n // bs):
+                idx = order[i * bs : (i + 1) * bs]
+                batch = {
+                    "image": self.ds.images[idx],
+                    "label": self.ds.labels[idx],
+                    "index": idx.astype(np.int32),
+                }
+                for k, v in self.extras.items():
+                    batch[k] = v[idx]
+                yield batch
+        else:
+            for i in range(math.ceil(n / bs)):
+                idx = np.arange(i * bs, min((i + 1) * bs, n))
+                pad = bs - idx.shape[0]
+                mask = np.ones(bs, dtype=bool)
+                if pad:
+                    mask[idx.shape[0]:] = False
+                    idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
+                batch = {
+                    "image": self.ds.images[idx],
+                    "label": self.ds.labels[idx],
+                    "index": idx.astype(np.int32),
+                    "mask": mask,
+                }
+                for k, v in self.extras.items():
+                    batch[k] = v[idx]
+                yield batch

@@ -1,0 +1,96 @@
+"""Core-layer tests: schedules (parity with helper/util.py:37-50),
+metrics, mesh/sharding plumbing."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moma_tpu.core.mesh import create_mesh, data_sharding, local_batch_size
+from moma_tpu.core.metrics import (
+    EvalAccumulator,
+    accuracy_topk,
+    confusion_matrix,
+    macro_f1,
+)
+from moma_tpu.core.schedules import lr_at_epoch, lr_schedule
+
+
+def _reference_lr(epoch, lr, epochs, cosine, decay_rate, decay_epochs):
+    # direct transcription of the published formula (helper/util.py:37-50)
+    if cosine:
+        eta_min = lr * (decay_rate**3)
+        return eta_min + (lr - eta_min) * (1 + math.cos(math.pi * epoch / epochs)) / 2
+    steps = sum(epoch > np.asarray(decay_epochs))
+    return lr * decay_rate**steps if steps > 0 else lr
+
+
+@pytest.mark.parametrize("cosine", [True, False])
+def test_lr_epoch_parity(cosine):
+    for epoch in range(1, 61):
+        got = lr_at_epoch(
+            epoch, 0.05, 60, cosine=cosine, decay_rate=0.1,
+            decay_epochs=(30, 40, 50),
+        )
+        want = _reference_lr(epoch, 0.05, 60, cosine, 0.1, (30, 40, 50))
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_lr_schedule_steps_constant_within_epoch():
+    sched = lr_schedule(0.05, 10, steps_per_epoch=7, cosine=True)
+    vals = [float(sched(jnp.asarray(s))) for s in range(21)]
+    assert vals[0] == vals[6]  # epoch 1
+    assert vals[7] == vals[13]  # epoch 2
+    assert vals[0] != vals[7]
+    assert vals[0] == pytest.approx(lr_at_epoch(1, 0.05, 10, cosine=True))
+
+
+def test_accuracy_topk():
+    logits = jnp.asarray(
+        [[10.0, 5.0, 1.0], [1.0, 2.0, 3.0], [0.0, 9.0, 1.0], [3.0, 2.0, 1.0]]
+    )
+    labels = jnp.asarray([0, 1, 1, 2])
+    acc1, acc2 = accuracy_topk(logits, labels, topk=(1, 2))
+    assert float(acc1) == pytest.approx(50.0)
+    assert float(acc2) == pytest.approx(75.0)
+
+
+def test_conf_mat_and_f1():
+    logits = jnp.asarray([[2.0, 1.0], [2.0, 1.0], [0.0, 1.0], [1.0, 0.0]])
+    labels = jnp.asarray([0, 1, 1, 0])
+    cm = np.asarray(confusion_matrix(logits, labels, 2))
+    # preds = [0,0,1,0]; cm[true,pred]
+    assert cm.tolist() == [[2.0, 0.0], [1.0, 1.0]]
+    # class0: tp=2 fp=1 fn=0 -> 0.8; class1: tp=1 fp=0 fn=1 -> 2/3
+    assert macro_f1(cm) == pytest.approx((0.8 + 2 / 3) / 2)
+
+
+def test_conf_mat_mask():
+    logits = jnp.asarray([[2.0, 1.0], [0.0, 1.0]])
+    labels = jnp.asarray([0, 0])
+    mask = jnp.asarray([True, False])
+    cm = np.asarray(confusion_matrix(logits, labels, 2, mask=mask))
+    assert cm.sum() == 1.0
+
+
+def test_eval_accumulator():
+    acc = EvalAccumulator(n_cls=3)
+    acc.update(6.0, 2, np.eye(3))
+    acc.update(3.0, 1, np.zeros((3, 3)))
+    assert acc.loss == pytest.approx(3.0)
+    assert acc.acc == pytest.approx(100.0)
+
+
+def test_mesh_shapes(mesh8, mesh4x2):
+    assert mesh8.shape == {"data": 8, "model": 1}
+    assert mesh4x2.shape == {"data": 4, "model": 2}
+    assert local_batch_size(64, mesh8) == 8
+
+
+def test_data_sharding_places_batch(mesh8):
+    x = np.zeros((16, 4, 4, 3), np.float32)
+    y = jax.device_put(x, data_sharding(mesh8, ndim=4))
+    assert len(y.addressable_shards) == 8
+    assert y.addressable_shards[0].data.shape == (2, 4, 4, 3)
