@@ -1,0 +1,102 @@
+"""CLI: bulk checkpoint evaluation — the reference test.py capability
+(test.py:146-278): take a list of run directories (or a glob), evaluate
+each best checkpoint on a test loader, dump one stat.json with per-model
+accuracy / macro-F1 / confusion matrices.
+
+    python -m moma_tpu.cli.test_eval --runs './save/teacher_*' \
+        --dataset cifar100 --data_dir ./data --model resnet32x4
+
+    python -m moma_tpu.cli.test_eval --runs '/tmp/smoke*' --synthetic --model resnet8
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from moma_tpu.core.config import DATASET_NUM_CLASSES
+from moma_tpu.core.mesh import create_mesh, replicated_sharding
+from moma_tpu.data import augment as aug
+from moma_tpu.data.cifar import cifar100_available, load_cifar100
+from moma_tpu.data.pipeline import Loader, synthetic_dataset
+from moma_tpu.models import create_model
+from moma_tpu.models.pretrained import load_pretrained_params
+from moma_tpu.train.loop import evaluate
+from moma_tpu.train.steps import make_eval_step
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("moma_tpu test_eval")
+    p.add_argument("--runs", type=str, required=True,
+                   help="glob of run dirs containing ckpt/{best_acc,...}")
+    p.add_argument("--ckpt_tag", type=str, default="best_acc",
+                   choices=["best_acc", "best_f1", "latest"])
+    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="cifar100")
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--image_size", type=int, default=32)
+    p.add_argument("--out", type=str, default="./test_stat.json")
+    p.add_argument("--synthetic", action="store_true")
+    a = p.parse_args(argv)
+
+    mesh = create_mesh()
+    n_cls = DATASET_NUM_CLASSES.get(a.dataset, 100)
+    if a.synthetic:
+        test_ds = synthetic_dataset(max(a.batch_size, 128), a.image_size, n_cls, 1)
+        norm = aug.cifar_eval_normalize
+    elif a.dataset == "cifar100":
+        if not cifar100_available(a.data_dir):
+            raise FileNotFoundError(f"CIFAR-100 not under {a.data_dir}")
+        _, test_ds = load_cifar100(a.data_dir)
+        norm = aug.cifar_eval_normalize
+    else:
+        from moma_tpu.data.histo import load_histo_testset
+
+        test_ds = load_histo_testset(a.dataset, a.data_dir, a.image_size)
+
+        def norm(images):
+            return aug.normalize(images, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
+
+    loader = Loader(test_ds, a.batch_size, train=False)
+    model = create_model(a.model, num_classes=n_cls)
+    sample = jnp.zeros((2, a.image_size, a.image_size, 3))
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+    eval_step = make_eval_step(model.apply, n_cls, normalize_fn=norm)
+
+    results = {}
+    run_dirs = sorted(glob.glob(a.runs))
+    if not run_dirs:
+        print(f"no runs match {a.runs}", file=sys.stderr)
+        return {}
+    for run_dir in run_dirs:
+        ckpt_path = os.path.join(run_dir, "ckpt", a.ckpt_tag)
+        if not os.path.isdir(ckpt_path):
+            print(f"skip {run_dir}: no {a.ckpt_tag} checkpoint")
+            continue
+        v = load_pretrained_params(variables, ckpt_path, strict=True)
+        v = jax.device_put(v, replicated_sharding(mesh))
+        stats = evaluate(
+            v["params"], v["batch_stats"], loader, eval_step, mesh, n_cls
+        )
+        name = os.path.basename(run_dir.rstrip("/"))
+        results[name] = {
+            "acc": stats["acc"], "f1": stats["f1"], "loss": stats["loss"],
+            "n": stats["n"], "conf_mat": stats["conf_mat"],
+        }
+        print(f"{name}: acc {stats['acc']:.2f} f1 {stats['f1']:.4f}")
+
+    with open(a.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {a.out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

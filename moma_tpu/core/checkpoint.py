@@ -1,0 +1,88 @@
+"""Checkpoint save/restore via orbax.
+
+Closes the reference's resume gap (SURVEY.md §5): the reference saves only
+{epoch, model, best_acc, optimizer} on new bests (train_teacher.py:306-332)
+and can never resume — MoCo queue, EMA teacher and RNG are lost.  Here the
+FULL train state pytree (params, batch_stats, opt state, queue, EMA
+teacher, step, rng) round-trips, plus best-metric snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: latest/ for resume, best_acc/ and best_f1/ for
+    the reference's best-metric snapshots."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, tag)
+
+    def save(self, tag: str, state: Any, meta: Optional[dict] = None):
+        path = self._path(tag)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        if meta is not None:
+            with open(os.path.join(self.directory, f"{tag}.meta.json"), "w") as f:
+                json.dump(meta, f, indent=2, default=float)
+
+    def restore(self, tag: str, target: Any) -> Any:
+        """Restore into the structure of `target` (an abstract or concrete
+        pytree of the same shape)."""
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+        return self._ckptr.restore(self._path(tag), abstract)
+
+    def exists(self, tag: str) -> bool:
+        return os.path.isdir(self._path(tag))
+
+    def meta(self, tag: str) -> Optional[dict]:
+        p = os.path.join(self.directory, f"{tag}.meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+
+class StatsWriter:
+    """Per-epoch JSON stat history — the `update_dict_to_json` equivalent
+    (helper/util.py:87-109) plus a JSONL scalar stream for step metrics."""
+
+    def __init__(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        self.stat_path = os.path.join(directory, "stat.json")
+        self.scalar_path = os.path.join(directory, "scalars.jsonl")
+        self._stats = {}
+        if os.path.exists(self.stat_path):
+            with open(self.stat_path) as f:
+                self._stats = json.load(f)
+
+    def update_epoch(self, epoch: int, values: dict):
+        self._stats[str(epoch)] = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in values.items()
+        }
+        tmp = self.stat_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._stats, f, indent=2)
+        os.replace(tmp, self.stat_path)
+
+    def scalar(self, step: int, **values):
+        with open(self.scalar_path, "a") as f:
+            f.write(json.dumps({"step": step, **{k: float(v) for k, v in values.items()}}) + "\n")
+
+    def write_params_json(self, directory: str, payload: dict):
+        """parameters.json flag dump (train_teacher.py:358-366 parity)."""
+        with open(os.path.join(directory, "parameters.json"), "w") as f:
+            json.dump(payload, f, indent=2, default=str)

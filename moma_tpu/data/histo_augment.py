@@ -1,0 +1,55 @@
+"""Histopathology train/eval augmentation stacks (device-side).
+
+Mirrors the reference stacks (dataset/histo_dataset.py:207-368):
+  train: [RandomResizedCrop if image_resize] + RandomHorizontalFlip +
+         RandAugment(rand-n2-m10-mstd0.5, fill=255*imagenet_mean) +
+         normalize(imagenet stats)
+  eval:  resize (done once at pack time) + center crop + normalize
+
+The packed cache stores images already resized to cfg.data.image_size, so
+the resize stage is free at train time.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from moma_tpu.data.augment import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    normalize,
+    random_hflip,
+    random_resized_crop,
+)
+from moma_tpu.data.randaugment import rand_augment
+
+RA_FILL = tuple(min(255, round(255 * m)) for m in IMAGENET_MEAN)
+
+
+def make_histo_augment(cfg):
+    image_size = cfg.data.image_size
+    use_rrc = bool(cfg.data.image_resize)
+    crop_lo = cfg.data.crop
+    use_ra = cfg.data.aug_train == "RA"
+
+    def augment(images, rng):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        x = images.astype(jnp.float32)
+        if use_rrc:
+            x = random_resized_crop(x, k1, image_size, scale=(crop_lo, 1.0))
+        x = random_hflip(x, k2)
+        if use_ra:
+            x = rand_augment(x, k3, num_layers=2, magnitude=10.0,
+                             magnitude_std=0.5, fill=RA_FILL)
+        return normalize(x / 255.0, IMAGENET_MEAN, IMAGENET_STD)
+
+    return augment
+
+
+def make_histo_eval(cfg):
+    def eval_normalize(images):
+        x = images.astype(jnp.float32) / 255.0
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
+
+    return eval_normalize

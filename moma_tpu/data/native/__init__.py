@@ -1,0 +1,132 @@
+"""ctypes bindings for the native batch assembler (batcher.cpp).
+
+Auto-builds with g++ on first import (single translation unit, ~1s,
+cached next to the source); falls back to a numpy implementation when no
+compiler is available so the framework stays importable everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "batcher.cpp")
+_SO = os.path.join(_HERE, "libbatcher.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.bt_open.restype = ctypes.c_void_p
+        lib.bt_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        lib.bt_gather.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.bt_prefetch_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+        ]
+        lib.bt_prefetch_submit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64
+        ]
+        lib.bt_prefetch_get.restype = ctypes.c_int64
+        lib.bt_prefetch_get.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
+        lib.bt_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeBatcher:
+    """Multi-threaded gather + async prefetch over a packed uint8 file.
+
+    Usage:
+        b = NativeBatcher(path, n, row_shape)
+        b.start(batch_size, depth=3, threads=8)
+        b.submit(indices)           # one call per upcoming batch
+        arr = b.get()               # (batch, *row_shape) uint8, FIFO
+    """
+
+    def __init__(self, path: str, n_rows: int, row_shape):
+        self.row_shape = tuple(row_shape)
+        self.row_bytes = int(np.prod(row_shape))
+        self.n_rows = n_rows
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native batcher unavailable (no g++)")
+        self._lib = lib
+        self._h = lib.bt_open(path.encode(), n_rows, self.row_bytes)
+        if not self._h:
+            raise OSError(f"bt_open failed for {path}")
+        self._batch = 0
+
+    def start(self, batch_size: int, depth: int = 3, threads: int = 8):
+        self._batch = batch_size
+        self._lib.bt_prefetch_start(self._h, batch_size, depth, threads)
+
+    def submit(self, indices: np.ndarray):
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        self._lib.bt_prefetch_submit(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0],
+        )
+
+    def get(self) -> np.ndarray:
+        out = np.empty((self._batch, *self.row_shape), dtype=np.uint8)
+        n = self._lib.bt_prefetch_get(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        return out[:n]
+
+    def gather(self, indices: np.ndarray, threads: int = 8) -> np.ndarray:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty((idx.shape[0], *self.row_shape), dtype=np.uint8)
+        self._lib.bt_gather(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            idx.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            threads,
+        )
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.bt_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -192,7 +192,9 @@ def rkd_loss(f_s: Array, f_t: Array, w_d: float = 25.0, w_a: float = 50.0) -> Ar
 
     def angles(e):
         diff = e[None, :, :] - e[:, None, :]  # (B,B,D)
-        nd = l2_normalize(diff, axis=2)
+        # grad-safe normalize: the i==j rows are exactly zero and jax's
+        # sqrt has an inf gradient at 0 (torch defines it as 0)
+        nd = diff * jax.lax.rsqrt(jnp.sum(diff * diff, axis=2, keepdims=True) + 1e-24)
         return jnp.einsum("ijd,ikd->ijk", nd, nd).reshape(-1)
 
     t_a = jax.lax.stop_gradient(angles(t))

@@ -1,0 +1,239 @@
+"""EfficientNet B0-B7 (Flax, NHWC) — the reference's workhorse backbone
+(effiB0 default everywhere; models/efficientnet_pytorch/).
+
+Parity targets:
+  * arch: stem s2 -> 16 MBConv blocks (expand 1x1, depthwise SAME-pad, SE
+    squeeze on INPUT filters, project 1x1, drop-connect + skip) -> 1x1
+    head -> pool -> Dropout+Linear (model.py:27-131, 212-216)
+  * round_filters / round_repeats with divisor 8 (utils.py:126-151)
+  * BN momentum 0.99 / eps 1e-3 (TF defaults the port keeps)
+  * feature contract: endpoints = pre-reduction maps (4 for 224/512 input)
+    + head map + pooled embedding (model.py:248-298, 344-374); s_dim=1280
+  * same-padding: flax 'SAME' == TF SAME == the port's static same-pad
+    computed per image size (utils.py:196-341)
+
+TPU-first notes: swish (silu) fuses into the convs under XLA (the torch
+port needs a custom autograd for memory; remat here is `jax.checkpoint`
+if ever needed); depthwise convs lower to VPU ops; the 1x1 expand/project
+convs are the MXU hot path at 512x512 histo resolution.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moma_tpu.models.common import TorchLinear, conv_kernel_init
+
+
+class BlockArgs(NamedTuple):
+    num_repeat: int
+    kernel_size: int
+    stride: int
+    expand_ratio: int
+    input_filters: int
+    output_filters: int
+    se_ratio: float
+
+
+# b0 baseline blocks (utils.py arch strings r1_k3_s11_e1_i32_o16_se0.25 ...)
+B0_BLOCKS = (
+    BlockArgs(1, 3, 1, 1, 32, 16, 0.25),
+    BlockArgs(2, 3, 2, 6, 16, 24, 0.25),
+    BlockArgs(2, 5, 2, 6, 24, 40, 0.25),
+    BlockArgs(3, 3, 2, 6, 40, 80, 0.25),
+    BlockArgs(3, 5, 1, 6, 80, 112, 0.25),
+    BlockArgs(4, 5, 2, 6, 112, 192, 0.25),
+    BlockArgs(1, 3, 1, 6, 192, 320, 0.25),
+)
+
+# (width_coeff, depth_coeff, resolution, dropout) — utils.py:463-534
+COEFFS = {
+    "b0": (1.0, 1.0, 224, 0.2),
+    "b1": (1.0, 1.1, 240, 0.2),
+    "b2": (1.1, 1.2, 260, 0.3),
+    "b3": (1.2, 1.4, 300, 0.3),
+    "b4": (1.4, 1.8, 380, 0.4),
+    "b5": (1.6, 2.2, 456, 0.4),
+    "b6": (1.8, 2.6, 528, 0.5),
+    "b7": (2.0, 3.1, 600, 0.5),
+}
+
+BN_MOMENTUM = 0.99  # torch port: momentum=1-0.99 (utils: batch_norm_momentum)
+BN_EPS = 1e-3
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    """utils.py:126-143 — width-scale then snap to divisor, never <90%."""
+    if width == 1.0:
+        return filters
+    filters *= width
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    return int(math.ceil(depth * repeats))
+
+
+def drop_connect(x: jax.Array, rng: jax.Array, rate: float) -> jax.Array:
+    """Per-sample stochastic depth (utils.py:164-183)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+    return x / keep * mask.astype(x.dtype)
+
+
+class _BN(nn.Module):
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=self.dtype,
+        )(x)
+
+
+class MBConvBlock(nn.Module):
+    """MBConv with SE + drop-connect (model.py:27-131)."""
+
+    in_filters: int
+    out_filters: int
+    kernel_size: int
+    stride: int
+    expand_ratio: int
+    se_ratio: float
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, drop_rate: float = 0.0,
+                 rng: jax.Array | None = None):
+        inp = x
+        expanded = self.in_filters * self.expand_ratio
+        if self.expand_ratio != 1:
+            x = nn.Conv(expanded, (1, 1), use_bias=False,
+                        kernel_init=conv_kernel_init, dtype=self.dtype)(x)
+            x = _BN(self.dtype)(x, train)
+            x = nn.silu(x)
+        # depthwise, TF SAME padding
+        x = nn.Conv(
+            expanded, (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride), padding="SAME",
+            feature_group_count=expanded, use_bias=False,
+            kernel_init=conv_kernel_init, dtype=self.dtype,
+        )(x)
+        x = _BN(self.dtype)(x, train)
+        x = nn.silu(x)
+        # squeeze-excite on INPUT filter count (model.py:58-63)
+        if self.se_ratio > 0:
+            squeezed = max(1, int(self.in_filters * self.se_ratio))
+            s = jnp.mean(x, axis=(1, 2), keepdims=True)
+            s = nn.Conv(squeezed, (1, 1), kernel_init=conv_kernel_init,
+                        dtype=self.dtype)(s)
+            s = nn.silu(s)
+            s = nn.Conv(expanded, (1, 1), kernel_init=conv_kernel_init,
+                        dtype=self.dtype)(s)
+            x = jax.nn.sigmoid(s) * x
+        x = nn.Conv(self.out_filters, (1, 1), use_bias=False,
+                    kernel_init=conv_kernel_init, dtype=self.dtype)(x)
+        x = _BN(self.dtype)(x, train)
+        if self.stride == 1 and self.in_filters == self.out_filters:
+            if train and drop_rate > 0 and rng is not None:
+                x = drop_connect(x, rng, drop_rate)
+            x = x + inp
+        return x
+
+
+class EfficientNet(nn.Module):
+    """Feature contract (model.py:344-374): feats = (reduction_1..4, head
+    map, pooled 1280-d embedding); logits via Dropout+Linear."""
+
+    variant: str = "b0"
+    num_classes: int = 1000
+    drop_connect_rate: float = 0.2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width, depth, _res, dropout = COEFFS[self.variant]
+        blocks = []
+        for ba in B0_BLOCKS:
+            blocks.append(
+                ba._replace(
+                    input_filters=round_filters(ba.input_filters, width),
+                    output_filters=round_filters(ba.output_filters, width),
+                    num_repeat=round_repeats(ba.num_repeat, depth),
+                )
+            )
+        total_blocks = sum(b.num_repeat for b in blocks)
+
+        stem_ch = round_filters(32, width)
+        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, kernel_init=conv_kernel_init,
+                    dtype=self.dtype)(x)
+        x = _BN(self.dtype)(x, train)
+        x = nn.silu(x)
+
+        endpoints = []
+        prev = x
+        idx = 0
+        if train:
+            dc_rng = self.make_rng("dropout") if self.has_rng("dropout") else None
+        else:
+            dc_rng = None
+        for ba in blocks:
+            for r in range(ba.num_repeat):
+                in_f = ba.input_filters if r == 0 else ba.output_filters
+                stride = ba.stride if r == 0 else 1
+                rate = self.drop_connect_rate * idx / total_blocks
+                brng = (
+                    jax.random.fold_in(dc_rng, idx) if dc_rng is not None else None
+                )
+                x = MBConvBlock(
+                    in_f, ba.output_filters, ba.kernel_size, stride,
+                    ba.expand_ratio, ba.se_ratio, dtype=self.dtype,
+                )(x, train=train, drop_rate=rate, rng=brng)
+                # endpoint = pre-reduction map (model.py:283-285)
+                if prev.shape[1] > x.shape[1]:
+                    endpoints.append(prev)
+                prev = x
+                idx += 1
+
+        head_ch = round_filters(1280, width)
+        x = nn.Conv(head_ch, (1, 1), use_bias=False,
+                    kernel_init=conv_kernel_init, dtype=self.dtype)(x)
+        x = _BN(self.dtype)(x, train)
+        x = nn.silu(x)
+        endpoints.append(x)
+
+        pooled = jnp.mean(x, axis=(1, 2))
+        endpoints.append(pooled)
+        z = pooled.astype(jnp.float32)
+        if train and dropout > 0:
+            z = nn.Dropout(rate=dropout, deterministic=not self.has_rng("dropout"))(z)
+        logits = TorchLinear(self.num_classes, name="classifier")(z)
+        return tuple(endpoints), logits
+
+
+def _factory(variant):
+    def make(num_classes: int = 1000, dtype: Any = None, **kw):
+        return EfficientNet(variant=variant, num_classes=num_classes,
+                            dtype=dtype, **kw)
+
+    return make
+
+
+efficientnet_b0 = _factory("b0")
+efficientnet_b1 = _factory("b1")
+efficientnet_b2 = _factory("b2")
+efficientnet_b3 = _factory("b3")
+efficientnet_b4 = _factory("b4")
+efficientnet_b5 = _factory("b5")
+efficientnet_b6 = _factory("b6")
+efficientnet_b7 = _factory("b7")

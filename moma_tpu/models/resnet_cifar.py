@@ -134,7 +134,11 @@ class ResNetCifar(nn.Module):
 
         f4 = global_avg_pool(x)
         feats.append(f4)
-        logits = TorchLinear(self.num_classes)(f4.astype(jnp.float32))
+        # canonical name: SRRL/SimKD reuse the teacher classifier by key
+        # (reference get_feat_modules()[-1], models/resnet.py:153-162)
+        logits = TorchLinear(self.num_classes, name="classifier")(
+            f4.astype(jnp.float32)
+        )
         return tuple(feats), logits
 
 

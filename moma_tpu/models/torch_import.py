@@ -1,0 +1,191 @@
+"""PyTorch -> Flax checkpoint conversion (SURVEY.md §7 hard part 5).
+
+Converts reference-trained .pth state dicts (incl. `module.` DDP prefixes
+and torchvision/timm layouts) into this framework's NHWC Flax pytrees.
+
+Strategy: stream alignment by module kind.  Both frameworks enumerate
+modules of a given kind (conv / bn / linear / layernorm) in call order —
+torch via state_dict insertion order, flax via natural-sorted DFS of the
+auto-numbered scope tree (Conv_0, Conv_1, ..., Conv_10 sorted numerically,
+not lexically).  Aligning the per-kind streams and transposing kernels
+(OIHW -> HWIO, OI -> IO) reproduces the weights exactly; forward parity is
+enforced by tests/test_torch_import.py against the live reference models.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def _flax_modules(tree: Dict, bs_tree: Dict, prefix=()) -> List[dict]:
+    """DFS over the flax params tree IN INSERTION ORDER — flax creates
+    param subtrees in call order during init, so plain dict order
+    reproduces the execution order (alphabetical sorting would put
+    BasicBlock_0 before the stem Conv_0).  Requires `variables` straight
+    from model.init, not round-tripped through tree_map (which sorts)."""
+    out = []
+    keys = list(tree.keys())
+    for k in keys:
+        v = tree[k]
+        path = prefix + (k,)
+        if isinstance(v, dict) and any(
+            isinstance(x, dict) for x in v.values()
+        ):
+            out.extend(_flax_modules(v, bs_tree.get(k, {}) if isinstance(bs_tree, dict) else {}, path))
+        elif isinstance(v, dict):
+            leaves = set(v.keys())
+            bs = bs_tree.get(k, {}) if isinstance(bs_tree, dict) else {}
+            if leaves >= {"scale", "bias"} and {"mean", "var"} <= set(bs.keys()):
+                kind = "bn"
+            elif leaves >= {"scale", "bias"} or leaves == {"scale"}:
+                kind = "ln"
+            elif "kernel" in leaves and np.ndim(v["kernel"]) == 4:
+                kind = "conv"
+            elif "kernel" in leaves and np.ndim(v["kernel"]) == 2:
+                kind = "linear"
+            elif "embedding" in leaves:
+                kind = "embed"
+            else:
+                kind = "param"
+            out.append({"path": path, "kind": kind, "params": v, "bs": bs})
+        else:
+            out.append({"path": path, "kind": "raw", "params": {None: v}, "bs": {}})
+    return out
+
+
+def _torch_modules(state_dict: Dict[str, Any]) -> List[dict]:
+    """Group a torch state dict by module prefix, classify by kind, keep
+    insertion order.  Strips DDP 'module.' prefixes."""
+    groups: Dict[str, dict] = {}
+    order: List[str] = []
+    for key, val in state_dict.items():
+        name = key[len("module."):] if key.startswith("module.") else key
+        if name.endswith("num_batches_tracked"):
+            continue
+        prefix, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        groups[prefix][leaf] = np.asarray(val)
+    out = []
+    for prefix in order:
+        g = groups[prefix]
+        if "running_mean" in g:
+            kind = "bn"
+        elif "weight" in g and g["weight"].ndim == 4:
+            kind = "conv"
+        elif "weight" in g and g["weight"].ndim == 2:
+            kind = "linear"
+        elif "weight" in g and g["weight"].ndim == 1:
+            kind = "ln"
+        else:
+            kind = "param"
+        out.append({"prefix": prefix, "kind": kind, "tensors": g})
+    return out
+
+
+def _convert_module(kind: str, torch_mod: dict, flax_mod: dict):
+    """Write torch tensors into the flax module's params/bs leaf shapes."""
+    g = torch_mod["tensors"]
+    p = dict(flax_mod["params"])
+    bs = dict(flax_mod["bs"])
+    if kind == "conv":
+        w = g["weight"]  # (O, I/groups, kh, kw)
+        kernel = np.transpose(w, (2, 3, 1, 0))  # HWIO (grouped convs match)
+        _check(kernel.shape, np.shape(p["kernel"]), torch_mod, flax_mod)
+        p["kernel"] = kernel
+        if "bias" in g and "bias" in p:
+            p["bias"] = g["bias"]
+    elif kind == "linear":
+        kernel = np.transpose(g["weight"], (1, 0))
+        _check(kernel.shape, np.shape(p["kernel"]), torch_mod, flax_mod)
+        p["kernel"] = kernel
+        if "bias" in g and "bias" in p:
+            p["bias"] = g["bias"]
+    elif kind == "bn":
+        _check(g["weight"].shape, np.shape(p["scale"]), torch_mod, flax_mod)
+        p["scale"] = g["weight"]
+        p["bias"] = g["bias"]
+        bs["mean"] = g["running_mean"]
+        bs["var"] = g["running_var"]
+    elif kind == "ln":
+        p["scale"] = g["weight"]
+        if "bias" in g and "bias" in p:
+            p["bias"] = g["bias"]
+    else:
+        raise ValueError(f"unhandled kind {kind} at {torch_mod['prefix']}")
+    return p, bs
+
+
+def _check(got, want, torch_mod, flax_mod):
+    if tuple(got) != tuple(want):
+        raise ValueError(
+            f"shape mismatch: torch {torch_mod['prefix']} {tuple(got)} vs "
+            f"flax {'/'.join(flax_mod['path'])} {tuple(want)}"
+        )
+
+
+def convert_state_dict(state_dict: Dict[str, Any], variables: Dict) -> Dict:
+    """Returns {'params':…, 'batch_stats':…} shaped like `variables` with
+    weights from the torch state dict."""
+    def _copy(tree):
+        # order-preserving deep copy (tree_map would sort dict keys and
+        # destroy the call-order information _flax_modules relies on)
+        if isinstance(tree, dict):
+            return {k: _copy(v) for k, v in tree.items()}
+        return np.asarray(tree)
+
+    params = _copy(dict(variables["params"]))
+    batch_stats = _copy(dict(variables.get("batch_stats", {})))
+    flax_mods = _flax_modules(params, batch_stats)
+    torch_mods = _torch_modules(state_dict)
+
+    streams_f = {}
+    for m in flax_mods:
+        streams_f.setdefault(m["kind"], []).append(m)
+    streams_t = {}
+    for m in torch_mods:
+        streams_t.setdefault(m["kind"], []).append(m)
+
+    for kind in ("conv", "bn", "linear", "ln"):
+        fs = streams_f.get(kind, [])
+        ts = streams_t.get(kind, [])
+        if len(fs) != len(ts):
+            raise ValueError(
+                f"{kind} stream length mismatch: flax {len(fs)} vs torch "
+                f"{len(ts)} — architectures differ"
+            )
+        for fm, tm in zip(fs, ts):
+            new_p, new_bs = _convert_module(kind, tm, fm)
+            _set(params, fm["path"], new_p)
+            if new_bs:
+                _set(batch_stats, fm["path"], new_bs)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def convert_torch_checkpoint(path: str, variables: Dict) -> Dict:
+    """Load a .pth file (optionally a {'model': state_dict} training
+    checkpoint, the reference's save format train_teacher.py:306-332)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    state_dict = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}
+    return convert_state_dict(state_dict, variables)

@@ -1,0 +1,185 @@
+"""CMO — projection heads + batch-token attention (Flax).
+
+Functional port of MoMA/criterion_moco_att.py's CMO parameter container
+(:236-338): embed_s/embed_t heads (None | linear | mlp | mlp_byol) and the
+timm-style multi-head self-attention whose TOKENS ARE THE BATCH ROWS
+(Attention :141-167 — input (N, C) is unsqueezed to (1, N, C); with
+attn='self' three separate modules act on q / k / queue).
+
+TPU note: for attn='self' the three attentions over (B, C), (B, C) and
+(K, C) are independent softmax-attention programs; the queue one is the
+big one (K=16384 tokens).  It lowers to two (K,C)x(C,K) MXU matmuls +
+row softmax; fused further in ops/pallas when profiles demand.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moma_tpu.losses.functional import l2_normalize
+from moma_tpu.models.common import TorchLinear
+
+
+class BatchTokenAttention(nn.Module):
+    """MHSA over the batch-as-token axis; input/output (N, C).
+
+    Parity: criterion_moco_att.py:141-167 (num_heads=4, qkv_bias=True for
+    CMO; scale = head_dim^-0.5; no residual, no norm).
+    """
+
+    dim: int
+    num_heads: int = 4
+    qkv_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        qkv = TorchLinear(3 * C, use_bias=self.qkv_bias, dtype=self.dtype)(x)
+        qkv = qkv.reshape(N, 3, H, hd).transpose(1, 2, 0, 3)  # (3, H, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ jnp.swapaxes(k, -2, -1)) * (hd**-0.5)  # (H, N, N)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
+        y = (attn @ v).transpose(1, 0, 2).reshape(N, C)
+        return TorchLinear(C, dtype=self.dtype)(y)
+
+
+class BatchTokenAttention2(nn.Module):
+    """Attention + residual + LayerNorm (criterion_moco_att.py:227-233)."""
+
+    dim: int
+    num_heads: int = 4
+    qkv_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = BatchTokenAttention(
+            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype,
+            name="attn_layer",
+        )(x)
+        return nn.LayerNorm()(y + x)
+
+
+class ProjectionHead(nn.Module):
+    """embed_s / embed_t head (criterion_moco_att.py:254-305).
+
+    head: 'mlp'      Linear(d,d)-ReLU-Linear(d,feat)-L2
+          'mlp_byol' Linear(d,d)-BN1d-ReLU-Linear(d,feat)-L2
+          'linear'   Linear(d,feat)-L2
+          'None'     flatten-L2
+    """
+
+    head: str
+    feat_dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.reshape(x.shape[0], -1)
+        if self.head == "mlp":
+            d = x.shape[-1]
+            x = nn.relu(TorchLinear(d, dtype=self.dtype)(x))
+            x = TorchLinear(self.feat_dim, dtype=self.dtype)(x)
+        elif self.head == "mlp_byol":
+            d = x.shape[-1]
+            x = TorchLinear(d, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = TorchLinear(self.feat_dim, dtype=self.dtype)(x)
+        elif self.head == "linear":
+            x = TorchLinear(self.feat_dim, dtype=self.dtype)(x)
+        elif self.head in ("None", "none", None):
+            pass
+        else:
+            raise ValueError(f"unknown head {self.head}")
+        return l2_normalize(x.astype(jnp.float32), axis=1)
+
+
+# attention-set layouts per opt.attn (criterion_moco_att.py:307-338)
+ATTN_SETS = {
+    "all": ("atts",),
+    "self_mix": ("atts",),
+    "qk": ("atts",),
+    "dual": ("atts_p", "atts_n"),
+    "dual2": ("atts_p", "atts_n"),
+    "self_qk": ("atts_q", "atts_k"),
+    "self_nomix": ("atts_q", "atts_k"),
+    "self_qkv2": ("atts_q", "atts_k"),
+    "selfv2": ("atts_q", "atts_k", "atts_queue"),
+    "self": ("atts_q", "atts_k", "atts_queue"),
+    "none": (),
+}
+# modes built from Attention2 (residual+LN) rather than plain Attention
+ATTN2_MODES = {"self_qkv2", "selfv2"}
+
+
+class CMOHeads:
+    """Builds + initializes the CMO trainable set for a given config.
+
+    Matches the reference trainable wiring (train_student_moma.py:338-356):
+    embed_s and the attention modules train; embed_t is EMA-tracked from
+    embed_s when head=='mlp' (loops_moma.py:311-312), otherwise
+    parameter-free.
+    """
+
+    def __init__(self, head: str, attn: str, feat_dim: int, s_dim: int,
+                 t_dim: int, dtype=None):
+        self.head = head
+        self.attn = attn if attn in ATTN_SETS else "self"
+        self.feat_dim = feat_dim
+        self.dtype = dtype
+        self.embed_s = ProjectionHead(head, feat_dim, dtype=dtype)
+        self.embed_t = ProjectionHead(head, feat_dim, dtype=dtype)
+        att_cls = (
+            BatchTokenAttention2 if self.attn in ATTN2_MODES else BatchTokenAttention
+        )
+        self.attn_modules: Dict[str, nn.Module] = {
+            name: att_cls(feat_dim, num_heads=4, qkv_bias=True, dtype=dtype)
+            for name in ATTN_SETS[self.attn]
+        }
+        self._s_dim = s_dim
+        self._t_dim = t_dim
+
+    def init(self, rng: jax.Array):
+        """Returns (params, batch_stats) dicts: embed_s, embed_t, atts_*."""
+        params, batch_stats = {}, {}
+        ks = jax.random.split(rng, 2 + len(self.attn_modules))
+        for name, mod, dim in (
+            ("embed_s", self.embed_s, self._s_dim),
+            ("embed_t", self.embed_t, self._t_dim),
+        ):
+            v = mod.init(ks[0 if name == "embed_s" else 1],
+                         jnp.zeros((2, dim)), train=False)
+            params[name] = v.get("params", {})
+            if "batch_stats" in v:
+                batch_stats[name] = v["batch_stats"]
+        for i, (name, mod) in enumerate(self.attn_modules.items()):
+            v = mod.init(ks[2 + i], jnp.zeros((2, self.feat_dim)))
+            params[name] = v["params"]
+        return params, batch_stats
+
+    def attn_fns(self, params: dict) -> Dict[str, Callable]:
+        return {
+            name: (lambda x, m=mod, p=params[name]: m.apply({"params": p}, x))
+            for name, mod in self.attn_modules.items()
+        }
+
+    def embed(self, which: str, params: dict, batch_stats: dict, x,
+              train: bool = True):
+        """Apply embed_s/embed_t; returns (out, new_batch_stats_or_None)."""
+        mod = self.embed_s if which == "embed_s" else self.embed_t
+        variables = {"params": params[which]}
+        if which in batch_stats:
+            variables["batch_stats"] = batch_stats[which]
+            out, mut = mod.apply(variables, x, train=train,
+                                 mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return mod.apply(variables, x, train=train), None

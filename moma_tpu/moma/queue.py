@@ -1,0 +1,209 @@
+"""MoCo negative-queue state machine — functional port of the reference's
+mutable memory banks (MoMA/mem_moco.py).
+
+The reference mutates registered buffers in place mid-step: reads the
+queue (clone/detach) for logits FIRST, then writes the new keys at the
+pointer and advances it (mem_moco.py:89-99).  Here the queue is a pytree
+leaf of MomaState; `step_*` functions return (logits, new_queue), making
+the read-before-write ordering explicit and jit-safe.
+
+All variants are covered:
+  MoCo      single queue                      (mem_moco.py:69-100)
+  MoCoAtt   attention applied inside          (:103-161) — attention fns
+            are passed in, so this composes with CMO params
+  MoCoST    dual student/teacher queues       (:165-204)
+  MoCoSSTT  dual queues x optional dual query (:208-253)
+
+Queue layout note: K x D with D on the lane dimension; the negative-logit
+matmul q(B,D) @ queue^T hits the MXU as a (B,D)x(D,K) contraction.  When
+scaling K, shard the queue over the 'model' mesh axis — logits then
+arrive (B, K/model) sharded, and the CE's logsumexp reduces with one
+psum (no gather of the full K+1 row).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class QueueState(struct.PyTreeNode):
+    memory: Dict[str, jax.Array]  # name -> (K, D), L2-normalized rows
+    ptr: jax.Array                # scalar int32, shared across banks
+
+    @classmethod
+    def create(cls, rng: jax.Array, K: int, n_dim: int, names=("memory",)):
+        mems = {}
+        for i, name in enumerate(names):
+            k = jax.random.fold_in(rng, i)
+            m = jax.random.normal(k, (K, n_dim), jnp.float32)
+            m = m / jnp.linalg.norm(m, axis=1, keepdims=True)
+            mems[name] = m
+        return cls(memory=mems, ptr=jnp.zeros((), jnp.int32))
+
+    @property
+    def K(self) -> int:
+        return next(iter(self.memory.values())).shape[0]
+
+
+def queue_logits(
+    q: jax.Array, k: jax.Array, queue: jax.Array, T: float
+) -> jax.Array:
+    """[pos | negs]/T — (B, 1+K) (mem_moco.py:29-49).  Positive at column 0,
+    so the contrast labels are all-zeros (:94)."""
+    pos = jnp.sum(q * k, axis=1, keepdims=True)
+    neg = q @ queue.T  # (B, K) — MXU contraction over D
+    return jnp.concatenate([pos, neg], axis=1) / T
+
+
+def pos_logits(q: jax.Array, k: jax.Array, T: float) -> jax.Array:
+    """Positive-only variant (mem_moco.py:51-66), used by MoCoAtt 'dual2'."""
+    return jnp.sum(q * k, axis=1, keepdims=True) / T
+
+
+def queue_update(
+    state: QueueState, new_keys: Dict[str, jax.Array]
+) -> QueueState:
+    """Circular write of the gathered keys at the pointer, advance by the
+    GLOBAL key count (mem_moco.py:14-27: index fmod(arange+ptr, K))."""
+    n = next(iter(new_keys.values())).shape[0]
+    K = state.K
+    idx = jnp.mod(state.ptr + jnp.arange(n), K)
+    mems = dict(state.memory)
+    for name, keys in new_keys.items():
+        mems[name] = state.memory[name].at[idx].set(
+            jax.lax.stop_gradient(keys.astype(state.memory[name].dtype))
+        )
+    return state.replace(memory=mems, ptr=jnp.mod(state.ptr + n, K))
+
+
+# --------------------------------------------------------------- variants
+
+def step_moco(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    all_k: Optional[jax.Array],
+    T: float,
+) -> Tuple[jax.Array, QueueState]:
+    """MoCo: logits from the pre-update queue, then enqueue all_k
+    (mem_moco.py:77-100).  Labels are implicit zeros."""
+    k = jax.lax.stop_gradient(k)
+    queue = jax.lax.stop_gradient(state.memory["memory"])
+    logits = queue_logits(q, k, queue, T)
+    all_k = k if all_k is None else all_k
+    new_state = queue_update(state, {"memory": all_k})
+    return logits, new_state
+
+
+def step_moco_att(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    all_k: Optional[jax.Array],
+    T: float,
+    attn_mode: str,
+    attn_fns: Dict[str, Callable],
+) -> Tuple[jax.Array, QueueState]:
+    """MoCoAtt: attention modules applied to q/k/queue INSIDE the step
+    (mem_moco.py:110-161).  attn_fns maps {'atts','atts_p','atts_n',
+    'atts_q','atts_k','atts_queue'} to callables closing over CMO params."""
+    bsz = q.shape[0]
+    k = jax.lax.stop_gradient(k)
+    queue = jax.lax.stop_gradient(state.memory["memory"])
+    if attn_mode == "all":
+        out = attn_fns["atts"](jnp.concatenate([q, k, queue], axis=0))
+        q, k, queue = out[:bsz], out[bsz : 2 * bsz], out[2 * bsz :]
+    elif attn_mode == "qk":
+        out = attn_fns["atts"](jnp.concatenate([q, k], axis=0))
+        q, k = out[:bsz], out[bsz:]
+    elif attn_mode == "dual":
+        out_p = attn_fns["atts_p"](jnp.concatenate([q, queue], axis=0))
+        q, queue = out_p[:bsz], out_p[bsz:]
+        out_n = attn_fns["atts_n"](jnp.concatenate([k, queue], axis=0))
+        k, queue = out_n[:bsz], out_n[bsz:]
+    elif attn_mode == "dual2":
+        q = attn_fns["atts_p"](jnp.concatenate([q, k], axis=0))[:bsz]
+        k = attn_fns["atts_n"](jnp.concatenate([k, q], axis=0))[:bsz]
+    elif attn_mode in ("self_qk", "self_qkv2"):
+        q = attn_fns["atts_q"](q)
+        k = attn_fns["atts_k"](k)
+    else:  # 'self' family: q/k/queue each through their own attention
+        q = attn_fns["atts_q"](q)
+        k = attn_fns["atts_k"](k)
+        queue = attn_fns["atts_queue"](queue)
+
+    if attn_mode == "dual2":
+        logits = pos_logits(q, k, T)
+    else:
+        logits = queue_logits(q, k, queue, T)
+    all_k = k if all_k is None else all_k
+    new_state = queue_update(state, {"memory": all_k})
+    return logits, new_state
+
+
+def step_moco_st(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    k_t: jax.Array,
+    all_k: Optional[jax.Array],
+    all_k_t: Optional[jax.Array],
+    T: float,
+) -> Tuple[jax.Array, jax.Array, QueueState]:
+    """MoCoST: dual banks -> (logits_ss, logits_st) (mem_moco.py:165-204)."""
+    k = jax.lax.stop_gradient(k)
+    k_t = jax.lax.stop_gradient(k_t)
+    qs = jax.lax.stop_gradient(state.memory["memory_s"])
+    qt = jax.lax.stop_gradient(state.memory["memory_t"])
+    logits_ss = queue_logits(q, k, qs, T)
+    logits_st = queue_logits(q, k_t, qt, T)
+    new_state = queue_update(
+        state,
+        {
+            "memory_s": k if all_k is None else all_k,
+            "memory_t": k_t if all_k_t is None else all_k_t,
+        },
+    )
+    return logits_ss, logits_st, new_state
+
+
+def step_moco_sstt(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    q_t: Optional[jax.Array],
+    k_t: jax.Array,
+    all_k: Optional[jax.Array],
+    all_k_t: Optional[jax.Array],
+    T: float,
+):
+    """MoCoSSTT: dual banks x dual queries -> up to 4 logit sets
+    (mem_moco.py:208-253)."""
+    k = jax.lax.stop_gradient(k)
+    k_t = jax.lax.stop_gradient(k_t)
+    qs = jax.lax.stop_gradient(state.memory["memory_s"])
+    qt = jax.lax.stop_gradient(state.memory["memory_t"])
+    logits_ss = queue_logits(q, k, qs, T)
+    logits_st = queue_logits(q, k_t, qt, T)
+    out = [logits_ss, logits_st]
+    if q_t is not None:
+        out.append(queue_logits(q_t, k, qs, T))
+        out.append(queue_logits(q_t, k_t, qt, T))
+    new_state = queue_update(
+        state,
+        {
+            "memory_s": k if all_k is None else all_k,
+            "memory_t": k_t if all_k_t is None else all_k_t,
+        },
+    )
+    return (*out, new_state)
+
+
+def contrast_ce(logits: jax.Array) -> jax.Array:
+    """CE over (K+1)-way contrast logits with the positive at column 0
+    (contrast_trainer.py:189-205 + zeros labels)."""
+    return -jnp.mean(jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)[:, 0])

@@ -1,0 +1,95 @@
+"""Epoch-level drivers: train epochs, evaluation, best-checkpoint logic.
+
+Functional replacement for helper/loops_moma.py's train_vanilla /
+validate_vanilla and the per-epoch bookkeeping in train_teacher.py:244-350.
+Device work is one jitted call per batch; the host only moves uint8 data
+and accumulates meters.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from moma_tpu.core.mesh import data_sharding
+from moma_tpu.core.metrics import EvalAccumulator, Meter
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """device_put each array with its batch-sharded NamedSharding."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.device_put(v, data_sharding(mesh, ndim=np.ndim(v)))
+    return out
+
+
+def train_one_epoch(
+    state,
+    loader,
+    step_fn: Callable,
+    mesh,
+    epoch: int,
+    base_rng: jax.Array,
+    print_freq: int = 100,
+    log_fn: Optional[Callable] = None,
+) -> tuple:
+    """Runs one epoch; returns (state, {'loss','acc1','acc5','time',...})."""
+    loader.set_epoch(epoch)
+    meters = {k: Meter() for k in ("loss", "acc1", "acc5", "batch_time", "data_time")}
+    t0 = time.perf_counter()
+    bs = loader.batch_size
+    for i, batch in enumerate(loader):
+        t1 = time.perf_counter()
+        meters["data_time"].update(t1 - t0)
+        b = shard_batch(batch, mesh)
+        rng = jax.random.fold_in(base_rng, epoch * 1_000_003 + i)
+        state, metrics = step_fn(state, b, rng)
+        # async dispatch: only block on scalars at print points
+        if (i + 1) % print_freq == 0 or (i + 1) == len(loader):
+            for k in ("loss", "acc1", "acc5"):
+                meters[k].update(float(metrics[k]), bs)
+            if log_fn is not None:
+                log_fn(
+                    step=int(jax.device_get(state.step)),
+                    loss=meters["loss"].val,
+                    acc1=meters["acc1"].val,
+                )
+        t0 = time.perf_counter()
+        meters["batch_time"].update(t0 - t1)
+    return state, {
+        "loss": meters["loss"].avg,
+        "acc1": meters["acc1"].avg,
+        "acc5": meters["acc5"].avg,
+        "batch_time": meters["batch_time"].avg,
+        "data_time": meters["data_time"].avg,
+        "ips": bs / max(meters["batch_time"].avg, 1e-9),
+    }
+
+
+def evaluate(
+    params,
+    batch_stats,
+    loader,
+    eval_step: Callable,
+    mesh,
+    n_cls: int,
+) -> Dict[str, float]:
+    """Full-split evaluation: loss, top-1, macro-F1 from one global
+    conf-mat (validate_vanilla + process_accumulated_output parity)."""
+    acc = EvalAccumulator(n_cls=n_cls)
+    for batch in loader:
+        b = shard_batch(
+            {k: batch[k] for k in ("image", "label", "mask")}, mesh
+        )
+        loss_sum, n, cm = eval_step(params, batch_stats, b)
+        acc.update(float(loss_sum), float(n), np.asarray(cm))
+    return {
+        "loss": acc.loss,
+        "acc": acc.acc,
+        "f1": acc.f1,
+        "conf_mat": acc.conf_mat.tolist(),
+        "n": acc.n,
+    }

@@ -1,0 +1,415 @@
+"""MoMA training — the paper's method, as ONE jitted step.
+
+Functional mirror of helper/loops_moma.py:244-372 ('moma' branch) +
+learning/contrast_trainer.py, with the reference's in-place mutations made
+explicit state transitions.  Per-step ordering (parity-critical,
+SURVEY.md §7 hard part 1):
+
+  1. student fwd (train)                      -> feat_s, logit_s
+  2. teacher fwd (eval, PRE-EMA params)       -> feat_t, logit_t  [KL uses these]
+  3. EMA: teacher <- alpha*teacher + (1-alpha)*student    (loops:310)
+     and embed_t <- EMA(embed_s) when head=='mlp'         (loops:312-315)
+  4. key forward through the POST-EMA teacher with BN in TRAIN mode
+     (loops:317-320) on a shuffled global batch (Shuffle-BN), through
+     embed_t (eval), then unshuffled                       (contrast_trainer:90-133)
+  5. q = embed_s(feat_s[-1]); attn='self': q,k,all_k through
+     atts_q/atts_k/atts_queue                              (loops:328-333)
+  6. queue logits from the PRE-update memory; enqueue all_k; ptr += |all_k|
+  7. loss = cls*CE + div*KL + beta*CE(contrast logits, 0)
+
+Distributed re-design: under jit over the data-sharded mesh the batch is
+globally visible, so the reference's NCCL choreography collapses:
+  - `all_k = all_gather(k)` -> all_k IS k (the global batch)
+  - `broadcast(shuffle idx)` -> one shared PRNG permutation
+  - `broadcast_memory`       -> queue init is deterministic & replicated
+Shuffle-BN's purpose (per-device BN leakage) only exists with per-device
+BN stats; with jit's global-batch BN it is a no-op kept behind
+cfg.moma.shuffle_bn for exactness under shard_map execution.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
+from moma_tpu.core.config import Config
+from moma_tpu.core.mesh import create_mesh, replicated_sharding
+from moma_tpu.core.schedules import lr_schedule
+from moma_tpu.data.pipeline import Loader
+from moma_tpu.losses import functional as F
+from moma_tpu.models import create_model
+from moma_tpu.moma.cmo import CMOHeads
+from moma_tpu.moma.queue import (
+    QueueState,
+    contrast_ce,
+    step_moco,
+    step_moco_att,
+    step_moco_st,
+)
+from moma_tpu.train.distill import probe_shapes
+from moma_tpu.train.loop import evaluate, train_one_epoch
+from moma_tpu.train.state import MomaState, make_sgd
+from moma_tpu.train.steps import make_eval_step
+from moma_tpu.train.teacher import augment_fns, build_datasets
+
+
+def ema_update(old, new, alpha: float):
+    """p_ema <- alpha*p_ema + (1-alpha)*p  (contrast_trainer.py:207-211)."""
+    return jax.tree_util.tree_map(
+        lambda o, n: alpha * o + (1.0 - alpha) * jax.lax.stop_gradient(
+            n.astype(o.dtype)
+        ),
+        old,
+        new,
+    )
+
+
+def make_moma_train_step(
+    cfg: Config,
+    heads: CMOHeads,
+    augment_fn: Optional[Callable],
+    donate: bool = True,
+):
+    c, dv, b = cfg.distill.cls, cfg.distill.div, cfg.distill.beta
+    kd_T = cfg.distill.kd_T
+    alpha = cfg.moma.alpha
+    nce_t = cfg.moma.nce_t
+    mem = cfg.moma.mem
+    attn = cfg.moma.attn
+    shuffle_bn = cfg.moma.shuffle_bn
+
+    def step(state: MomaState, batch, rng):
+        images = batch["image"]
+        if augment_fn is not None:
+            rng, k_aug = jax.random.split(rng)
+            images = augment_fn(images, k_aug)
+        labels = batch["label"]
+
+        # ---- EMA (pre-step student params; reference order loops:310)
+        new_teacher_params = ema_update(
+            state.teacher_params, state.params["student"], alpha
+        )
+        cmo_params = dict(state.params["cmo"])
+        # reference EMAs embed_t only for the mlp head (loops:311-315);
+        # for 'linear'/'None' both embeds stay out of the optimizer there
+        if cfg.moma.head in ("mlp", "mlp_byol"):
+            cmo_params_embed_t = ema_update(
+                cmo_params["embed_t"], state.params["cmo"]["embed_s"], alpha
+            )
+        else:
+            cmo_params_embed_t = cmo_params["embed_t"]
+
+        # ---- keys: shuffled global batch through post-EMA teacher, BN train
+        B = images.shape[0]
+        if shuffle_bn:
+            rng, k_perm = jax.random.split(rng)
+            perm = jax.random.permutation(k_perm, B)
+            inv = jnp.argsort(perm)
+            key_images = images[perm]
+        else:
+            key_images = images
+        (feat_key, _), t_mut = state.teacher_apply_fn(
+            {
+                "params": new_teacher_params,
+                "batch_stats": state.teacher_batch_stats,
+            },
+            key_images,
+            train=True,  # BN train mode for the momentum encoder (loops:317)
+            mutable=["batch_stats"],
+        )
+        new_teacher_bs = t_mut["batch_stats"]
+        k_emb, _ = heads.embed(
+            "embed_t",
+            {**cmo_params, "embed_t": cmo_params_embed_t},
+            state.batch_stats["cmo"],
+            feat_key[-1],
+            train=False,  # embed_t.eval() (loops:313)
+        )
+        if shuffle_bn:
+            k_emb = k_emb[inv]
+        k_emb = jax.lax.stop_gradient(k_emb)
+        all_k = k_emb  # global batch == gathered keys (see module docstring)
+
+        # ---- teacher logits for KL: PRE-EMA params, eval mode (loops:269-272)
+        feat_t, logit_t = state.teacher_apply_fn(
+            {
+                "params": state.teacher_params,
+                "batch_stats": state.teacher_batch_stats,
+            },
+            images,
+            train=False,
+        )
+        logit_t = jax.lax.stop_gradient(logit_t)
+
+        def loss_fn(params):
+            (feat_s, logit_s), mut = state.apply_fn(
+                {
+                    "params": params["student"],
+                    "batch_stats": state.batch_stats["student"],
+                },
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss_cls = F.cross_entropy(logit_s, labels)
+            loss_div = F.kd_kl(logit_s, logit_t, kd_T)
+
+            q, new_embed_s_bs = heads.embed(
+                "embed_s", params["cmo"], state.batch_stats["cmo"],
+                feat_s[-1], train=True,
+            )
+            attn_fns = heads.attn_fns(params["cmo"])
+            k_local, keys_for_queue = k_emb, all_k
+            if mem == "MoCoAtt":
+                logits, new_queue = step_moco_att(
+                    state.queue, q, k_local, keys_for_queue, nce_t,
+                    attn, attn_fns,
+                )
+            elif mem in ("MoCoST", "MoCoSSTT"):
+                # dual-bank variant: student-side keys are the student's own
+                # embeddings of the key view; teacher-side keys from embed_t
+                q_in, k_in, kt_in = q, k_local, k_local
+                if attn == "self" and attn_fns:
+                    q_in = attn_fns["atts_q"](q_in)
+                    k_in = attn_fns["atts_k"](k_in)
+                logits_ss, logits_st, new_queue = step_moco_st(
+                    state.queue, q_in, k_in, kt_in, None, None, nce_t
+                )
+                logits = logits_ss  # loss uses the first logit set (loops:334)
+            else:  # MoCo
+                q_in, k_in, keys_in = q, k_local, keys_for_queue
+                if attn == "self" and attn_fns:
+                    # atts_queue transforms the keys ENTERING the queue, not
+                    # the queue memory (loops:328-333)
+                    q_in = attn_fns["atts_q"](q_in)
+                    k_in = attn_fns["atts_k"](k_in)
+                    keys_in = attn_fns["atts_queue"](keys_in)
+                logits, new_queue = step_moco(
+                    state.queue, q_in, k_in, keys_in, nce_t
+                )
+            loss_kd = contrast_ce(logits)
+            total = c * loss_cls + dv * loss_div + b * loss_kd
+            new_bs = {
+                "student": mut["batch_stats"],
+                "cmo": (
+                    {**state.batch_stats["cmo"], "embed_s": new_embed_s_bs}
+                    if new_embed_s_bs is not None
+                    else state.batch_stats["cmo"]
+                ),
+            }
+            aux = (loss_cls, loss_div, loss_kd, logit_s, new_bs, new_queue)
+            return total, aux
+
+        (total, (loss_cls, loss_div, loss_kd, logit_s, new_bs, new_queue)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                {"student": state.params["student"], "cmo": cmo_params}
+            )
+        )
+        # embed_t is EMA-tracked, never SGD-trained (train_student_moma:343)
+        grads["cmo"]["embed_t"] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["cmo"]["embed_t"]
+        )
+        new_state = state.apply_gradients(
+            grads,
+            batch_stats=new_bs,
+            teacher_params=new_teacher_params,
+            teacher_batch_stats=new_teacher_bs,
+            queue=new_queue,
+        )
+        # restore the EMA'd embed_t (SGD touched it with zero grads, but
+        # weight decay inside the chain would still shrink it — overwrite)
+        new_cmo = dict(new_state.params["cmo"])
+        new_cmo["embed_t"] = cmo_params_embed_t
+        new_state = new_state.replace(
+            params={**new_state.params, "cmo": new_cmo}
+        )
+
+        metrics = {
+            "loss": total,
+            "loss_cls": loss_cls,
+            "loss_div": loss_div,
+            "loss_kd": loss_kd,
+            "acc1": jnp.mean(
+                (jnp.argmax(logit_s, -1) == labels).astype(jnp.float32)
+            )
+            * 100.0,
+            "acc5": jnp.mean(
+                jnp.any(
+                    jax.lax.top_k(logit_s, min(5, logit_s.shape[-1]))[1]
+                    == labels[:, None],
+                    axis=-1,
+                ).astype(jnp.float32)
+            )
+            * 100.0,
+            "queue_ptr": new_queue.ptr,
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def run_moma(cfg: Config, synthetic: bool = False):
+    """MoMA student training driver (train_student_moma.py:227-604)."""
+    run_dir = os.path.join(cfg.run.save_dir, f"moma_{cfg.run_name}")
+    os.makedirs(run_dir, exist_ok=True)
+    stats = StatsWriter(run_dir)
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+
+    mesh = create_mesh(model_parallel=cfg.run.model_parallel)
+    n_cls = cfg.model_s.n_cls
+    dtype = jnp.bfloat16 if cfg.run.half_precision else None
+    student = create_model(cfg.model_s.name, num_classes=n_cls, dtype=dtype)
+    teacher = create_model(cfg.model_t.name, num_classes=n_cls, dtype=dtype)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
+    train_loader = Loader(train_ds, cfg.data.batch_size, train=True, seed=cfg.run.seed)
+    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
+    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
+    steps_per_epoch = len(train_loader)
+
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    init_s, init_t, init_cmo, init_q, train_rng = jax.random.split(rng, 5)
+    sample = jnp.zeros(
+        (2, cfg.data.image_size, cfg.data.image_size, 3),
+        jnp.bfloat16 if dtype else jnp.float32,
+    )
+    vars_s = student.init(init_s, sample, train=False)
+    vars_t = teacher.init(init_t, sample, train=False)
+    for which, mc, v in (("student", cfg.model_s, "vars_s"), ("teacher", cfg.model_t, "vars_t")):
+        pre = mc.pretrain
+        if pre and os.path.exists(str(pre)):
+            from moma_tpu.models.pretrained import load_pretrained_params
+
+            if which == "student":
+                vars_s = load_pretrained_params(vars_s, pre, strict=mc.strict)
+            else:
+                vars_t = load_pretrained_params(vars_t, pre, strict=mc.strict)
+
+    # EMA requires identical param trees (reference same-arch assumption)
+    s_struct = jax.tree_util.tree_structure(vars_s["params"])
+    t_struct = jax.tree_util.tree_structure(vars_t["params"])
+    if s_struct != t_struct:
+        raise ValueError(
+            "MoMA EMA teacher requires student and teacher to share an "
+            "architecture (reference contract_trainer momentum_update); "
+            f"got {cfg.model_s.name} vs {cfg.model_t.name}"
+        )
+
+    feat_s_shapes, _ = probe_shapes(student, cfg.data.image_size, cfg.data.batch_size)
+    feat_t_shapes, _ = probe_shapes(teacher, cfg.data.image_size, cfg.data.batch_size)
+    s_dim = feat_s_shapes[-1][-1]
+    t_dim = feat_t_shapes[-1][-1]
+    feat_dim = cfg.moma.feat_dim if cfg.moma.head != "None" else s_dim
+
+    heads = CMOHeads(
+        head=cfg.moma.head, attn=cfg.moma.attn, feat_dim=feat_dim,
+        s_dim=s_dim, t_dim=t_dim, dtype=dtype,
+    )
+    cmo_params, cmo_bs = heads.init(init_cmo)
+    queue_names = (
+        ("memory_s", "memory_t") if cfg.moma.mem in ("MoCoST", "MoCoSSTT")
+        else ("memory",)
+    )
+    queue = QueueState.create(init_q, cfg.moma.nce_k, feat_dim, names=queue_names)
+
+    tx = make_sgd(
+        lr_schedule(
+            cfg.optim.learning_rate, cfg.run.epochs, steps_per_epoch,
+            cosine=cfg.optim.cosine, decay_rate=cfg.optim.lr_decay_rate,
+            decay_epochs=cfg.optim.lr_decay_epochs,
+        ),
+        momentum=cfg.optim.momentum,
+        weight_decay=cfg.optim.weight_decay,
+    )
+    params = {"student": vars_s["params"], "cmo": cmo_params}
+    state = MomaState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats={"student": vars_s["batch_stats"], "cmo": cmo_bs},
+        teacher_params=vars_t["params"],
+        teacher_batch_stats=vars_t["batch_stats"],
+        queue=queue,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=student.apply,
+        teacher_apply_fn=teacher.apply,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_aug, eval_norm = augment_fns(cfg)
+    step_fn = make_moma_train_step(cfg, heads, train_aug, donate=cfg.run.donate)
+    eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
+
+    best_acc, best_f1 = -1.0, -1.0
+    t_start = time.time()
+    start_epoch = 1
+    if cfg.run.resume and ckpt.exists("latest"):
+        restorable = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "teacher_params": state.teacher_params,
+            "teacher_batch_stats": state.teacher_batch_stats,
+            "queue": state.queue, "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = ckpt.restore("latest", restorable)
+        state = state.replace(**restored)
+        meta = ckpt.meta("latest") or {}
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"[resume] from epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.run.epochs + 1):
+        state, tr = train_one_epoch(
+            state, train_loader, step_fn, mesh, epoch, train_rng,
+            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+        )
+        val = evaluate(
+            state.params["student"], state.batch_stats["student"],
+            val_loader, eval_step, mesh, n_cls,
+        )
+        row = {
+            "train_loss": tr["loss"], "train_acc": tr["acc1"], "ips": tr["ips"],
+            "val_loss": val["loss"], "val_acc": val["acc"], "val_f1": val["f1"],
+        }
+        if not cfg.run.skip_test:
+            test = evaluate(
+                state.params["student"], state.batch_stats["student"],
+                test_loader, eval_step, mesh, n_cls,
+            )
+            row.update(test_acc=test["acc"], test_f1=test["f1"])
+        stats.update_epoch(epoch, row)
+        print(
+            f"epoch {epoch}: loss {tr['loss']:.4f} acc {tr['acc1']:.2f} | "
+            f"val acc {val['acc']:.2f} f1 {val['f1']:.4f} | {tr['ips']:.1f} img/s"
+        )
+        save_state = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "teacher_params": state.teacher_params,
+            "teacher_batch_stats": state.teacher_batch_stats,
+            "queue": state.queue, "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        meta = {"epoch": epoch, **row}
+        ckpt.save("latest", save_state, meta)
+        if val["acc"] > best_acc:
+            best_acc = val["acc"]
+            ckpt.save("best_acc", save_state, meta)
+        if val["f1"] > best_f1:
+            best_f1 = val["f1"]
+            ckpt.save("best_f1", save_state, meta)
+
+    stats.write_params_json(
+        run_dir,
+        {
+            "config": cfg.to_json(),
+            "best_val_acc": best_acc,
+            "best_val_f1": best_f1,
+            "hours": (time.time() - t_start) / 3600.0,
+        },
+    )
+    return state, {"best_acc": best_acc, "best_f1": best_f1, "run_dir": run_dir}

@@ -72,9 +72,10 @@ class DistillState(struct.PyTreeNode):
     teacher_params: Any
     teacher_batch_stats: Any
     opt_state: optax.OptState
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    apply_fn: Callable = struct.field(pytree_node=False)          # student
-    teacher_apply_fn: Callable = struct.field(pytree_node=False)
+    extra: Any = None                # e.g. CRDMemory banks
+    tx: optax.GradientTransformation = struct.field(pytree_node=False, default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)    # student
+    teacher_apply_fn: Callable = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(

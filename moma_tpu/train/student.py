@@ -1,0 +1,202 @@
+"""Distillation training driver — the train_student_comparison.py /
+train_student_moma.py (non-moma branches) capability.
+
+`run_student(cfg)` builds student+teacher, probes feature shapes,
+constructs the distiller aux modules, and drives the epoch loop with one
+jitted distill step.  The `moma` method routes to train/moma.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
+from moma_tpu.core.config import Config
+from moma_tpu.core.mesh import create_mesh, replicated_sharding
+from moma_tpu.core.schedules import lr_schedule
+from moma_tpu.data.pipeline import Loader
+from moma_tpu.data.sampler import InstanceSampler
+from moma_tpu.models import create_model
+from moma_tpu.train.distill import Distiller, make_distill_train_step, probe_shapes
+from moma_tpu.train.loop import evaluate, train_one_epoch
+from moma_tpu.train.state import DistillState, make_sgd
+from moma_tpu.train.steps import make_eval_step
+from moma_tpu.train.teacher import augment_fns, build_datasets
+
+
+def load_teacher_variables(cfg: Config, model_t, sample, rng):
+    """Init + optionally restore teacher weights from --path_t / presets."""
+    variables = model_t.init(rng, sample, train=False)
+    pre = cfg.model_t.pretrain
+    if pre and os.path.exists(str(pre)):
+        from moma_tpu.models.pretrained import load_pretrained_params
+
+        variables = load_pretrained_params(
+            variables, pre, strict=cfg.model_t.strict
+        )
+    return variables
+
+
+def run_student(cfg: Config, synthetic: bool = False):
+    if cfg.distill.distill == "moma":
+        from moma_tpu.train.moma import run_moma
+
+        return run_moma(cfg, synthetic=synthetic)
+
+    run_dir = os.path.join(cfg.run.save_dir, f"student_{cfg.run_name}")
+    os.makedirs(run_dir, exist_ok=True)
+    stats = StatsWriter(run_dir)
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+
+    mesh = create_mesh(model_parallel=cfg.run.model_parallel)
+    n_cls = cfg.model_s.n_cls
+    dtype = jnp.bfloat16 if cfg.run.half_precision else None
+    student = create_model(cfg.model_s.name, num_classes=n_cls, dtype=dtype)
+    teacher = create_model(cfg.model_t.name, num_classes=n_cls, dtype=dtype)
+
+    train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
+
+    # CRD: class-aware negative sampling on the host, indices ride the batch
+    extras = {}
+    sampler = None
+    if cfg.distill.distill == "crd":
+        sampler = InstanceSampler(
+            train_ds.labels, k=cfg.moma.nce_k, mode=cfg.moma.mode,
+            percent=cfg.data.percent, seed=cfg.run.seed,
+        )
+
+    train_loader = Loader(train_ds, cfg.data.batch_size, train=True, seed=cfg.run.seed)
+    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
+    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
+    steps_per_epoch = len(train_loader)
+
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    init_s, init_t, init_aux, init_extra, train_rng = jax.random.split(rng, 5)
+    sample = jnp.zeros(
+        (2, cfg.data.image_size, cfg.data.image_size, 3),
+        jnp.bfloat16 if dtype else jnp.float32,
+    )
+    vars_s = student.init(init_s, sample, train=False)
+    if cfg.model_s.pretrain and os.path.exists(str(cfg.model_s.pretrain)):
+        from moma_tpu.models.pretrained import load_pretrained_params
+
+        vars_s = load_pretrained_params(
+            vars_s, cfg.model_s.pretrain, strict=cfg.model_s.strict
+        )
+    vars_t = load_teacher_variables(cfg, teacher, sample, init_t)
+
+    feat_s_shapes, _ = probe_shapes(student, cfg.data.image_size, cfg.data.batch_size)
+    feat_t_shapes, _ = probe_shapes(teacher, cfg.data.image_size, cfg.data.batch_size)
+    distiller = Distiller(
+        cfg, feat_s_shapes, feat_t_shapes,
+        n_data=len(train_ds), batch_size=cfg.data.batch_size, dtype=dtype,
+    )
+    aux_params, aux_bs = distiller.init_aux(init_aux)
+    extra = distiller.init_extra(init_extra)
+
+    tx = make_sgd(
+        lr_schedule(
+            cfg.optim.learning_rate, cfg.run.epochs, steps_per_epoch,
+            cosine=cfg.optim.cosine, decay_rate=cfg.optim.lr_decay_rate,
+            decay_epochs=cfg.optim.lr_decay_epochs,
+        ),
+        momentum=cfg.optim.momentum,
+        weight_decay=cfg.optim.weight_decay,
+        nesterov=cfg.optim.nesterov,
+        grad_clip=cfg.optim.grad_clip,
+    )
+    params = {"student": vars_s["params"], "aux": aux_params}
+    state = DistillState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats={"student": vars_s["batch_stats"], "aux": aux_bs},
+        teacher_params=vars_t["params"],
+        teacher_batch_stats=vars_t["batch_stats"],
+        opt_state=tx.init(params),
+        extra=extra,
+        tx=tx,
+        apply_fn=student.apply,
+        teacher_apply_fn=teacher.apply,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_aug, eval_norm = augment_fns(cfg)
+    step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate)
+    eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
+
+    # wrap the loader so CRD contrast indices are drawn per batch
+    class _SampledLoader:
+        def __init__(self, inner):
+            self.inner = inner
+            self.batch_size = inner.batch_size
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            for batch in self.inner:
+                if sampler is not None:
+                    batch["contrast_idx"] = sampler.sample(batch["index"]).astype(
+                        np.int32
+                    )
+                yield batch
+
+    loader = _SampledLoader(train_loader)
+
+    best_acc, best_f1 = -1.0, -1.0
+    t_start = time.time()
+    for epoch in range(1, cfg.run.epochs + 1):
+        state, tr = train_one_epoch(
+            state, loader, step_fn, mesh, epoch, train_rng,
+            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+        )
+        val = evaluate(
+            state.params["student"], state.batch_stats["student"],
+            val_loader, eval_step, mesh, n_cls,
+        )
+        row = {
+            "train_loss": tr["loss"], "train_acc": tr["acc1"], "ips": tr["ips"],
+            "val_loss": val["loss"], "val_acc": val["acc"], "val_f1": val["f1"],
+        }
+        if not cfg.run.skip_test:
+            test = evaluate(
+                state.params["student"], state.batch_stats["student"],
+                test_loader, eval_step, mesh, n_cls,
+            )
+            row.update(test_acc=test["acc"], test_f1=test["f1"])
+        stats.update_epoch(epoch, row)
+        print(
+            f"epoch {epoch}: loss {tr['loss']:.4f} acc {tr['acc1']:.2f} | "
+            f"val acc {val['acc']:.2f} f1 {val['f1']:.4f} | {tr['ips']:.1f} img/s"
+        )
+        save_state = {
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step,
+        }
+        meta = {"epoch": epoch, **row}
+        ckpt.save("latest", save_state, meta)
+        if val["acc"] > best_acc:
+            best_acc = val["acc"]
+            ckpt.save("best_acc", save_state, meta)
+        if val["f1"] > best_f1:
+            best_f1 = val["f1"]
+            ckpt.save("best_f1", save_state, meta)
+
+    stats.write_params_json(
+        run_dir,
+        {
+            "config": cfg.to_json(),
+            "best_val_acc": best_acc,
+            "best_val_f1": best_f1,
+            "hours": (time.time() - t_start) / 3600.0,
+        },
+    )
+    return state, {"best_acc": best_acc, "best_f1": best_f1, "run_dir": run_dir}

@@ -1,0 +1,172 @@
+"""Device RandAugment vs PIL golden values — each op family checked
+against the exact PIL call the reference makes (dataset/RandAugment.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moma_tpu.data import randaugment as RA
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image, ImageEnhance, ImageOps  # noqa: E402
+
+
+def _img(seed=0, size=24):
+    rs = np.random.RandomState(seed)
+    return rs.randint(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def _apply_lut(lut, x_int):
+    B = 1
+    bidx = np.zeros_like(x_int)
+    out = np.asarray(lut)[0][
+        np.broadcast_to(np.arange(3)[None, None, :], x_int.shape), x_int
+    ]
+    return out
+
+
+def test_invert_lut():
+    x = _img(0)
+    want = np.asarray(ImageOps.invert(Image.fromarray(x)))
+    lut = RA._invert_lut(1)
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mag", [2.0, 5.0, 10.0])
+def test_posterize_lut(mag):
+    x = _img(1)
+    bits = int(mag / 10.0 * 4)  # PosterizeTpu mapping
+    want = np.asarray(
+        ImageOps.posterize(Image.fromarray(x), bits) if bits < 8 else x
+    )
+    lut = RA._posterize_lut(1, jnp.asarray([mag]))
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mag", [3.0, 7.0, 10.0])
+def test_solarize_lut(mag):
+    x = _img(2)
+    thresh = int(mag / 10.0 * 256)
+    want = np.asarray(ImageOps.solarize(Image.fromarray(x), thresh))
+    lut = RA._solarize_lut(1, jnp.asarray([mag]))
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mag", [3.0, 10.0])
+def test_solarize_add_lut(mag):
+    x = _img(3)
+    add = int(mag / 10.0 * 110)
+    lut_ref = [min(255, i + add) if i < 128 else i for i in range(256)]
+    want = np.asarray(Image.fromarray(x).point(lut_ref * 3))
+    lut = RA._solarize_add_lut(1, jnp.asarray([mag]))
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_autocontrast_lut():
+    x = (_img(4).astype(np.int32) // 2 + 40).astype(np.uint8)  # compressed range
+    want = np.asarray(ImageOps.autocontrast(Image.fromarray(x)))
+    hist = RA._histograms(jnp.asarray(x[None]).astype(jnp.int32))
+    lut = RA._autocontrast_lut(hist)
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_allclose(got, want, atol=1)  # PIL rounds via int LUT
+
+
+def test_equalize_lut():
+    x = _img(5)
+    want = np.asarray(ImageOps.equalize(Image.fromarray(x)))
+    hist = RA._histograms(jnp.asarray(x[None]).astype(jnp.int32))
+    lut = RA._equalize_lut(hist)
+    got = _apply_lut(lut, x.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("factor", [0.1, 0.64, 1.9])
+def test_brightness_matrix(factor):
+    x = _img(6).astype(np.float32)
+    want = np.asarray(
+        ImageEnhance.Brightness(Image.fromarray(x.astype(np.uint8))).enhance(factor)
+    )
+    got = np.clip(np.round(x * factor), 0, 255)
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_color_matrix_matches_pil():
+    x = _img(7)
+    factor = 0.46
+    want = np.asarray(
+        ImageEnhance.Color(Image.fromarray(x)).enhance(factor)
+    ).astype(np.float32)
+    # replicate the stage-2 math for the Color op
+    luma = np.asarray(RA.LUMA)
+    # PIL degenerate = round(L) per pixel then blend
+    L = np.floor(x.astype(np.float32) @ luma + 0.5)
+    got = L[..., None] + factor * (x.astype(np.float32) - L[..., None])
+    got = np.clip(np.round(got), 0, 255)
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_rotate_affine_close_to_pil():
+    x = _img(8, size=32)
+    deg = 17.0
+    want = np.asarray(
+        Image.fromarray(x).rotate(
+            deg, resample=Image.BILINEAR, fillcolor=(128, 128, 128)
+        )
+    ).astype(np.float32)
+    op = jnp.asarray([3])
+    m = RA._affine_matrix(op, jnp.asarray([deg / 30.0 * 10.0]),
+                          jnp.asarray([True]), 32)
+    got = np.asarray(
+        RA._affine_sample(
+            jnp.asarray(x[None]).astype(jnp.float32), m,
+            jnp.asarray([128.0, 128.0, 128.0]),
+        )
+    )[0]
+    # interpolation/rounding differ at edges; interior must agree closely
+    diff = np.abs(got[4:-4, 4:-4] - want[4:-4, 4:-4])
+    assert np.percentile(diff, 95) <= 3.0, np.percentile(diff, 95)
+
+
+def test_translate_affine_exact():
+    x = _img(9, size=16)
+    pct = 0.25
+    want = np.asarray(
+        Image.fromarray(x).transform(
+            (16, 16), Image.AFFINE, (1, 0, pct * 16, 0, 1, 0),
+            resample=Image.BILINEAR, fillcolor=(128, 128, 128),
+        )
+    ).astype(np.float32)
+    op = jnp.asarray([13])
+    m = RA._affine_matrix(op, jnp.asarray([pct / 0.45 * 10.0]),
+                          jnp.asarray([True]), 16)
+    got = np.asarray(
+        RA._affine_sample(
+            jnp.asarray(x[None]).astype(jnp.float32), m,
+            jnp.asarray([128.0, 128.0, 128.0]),
+        )
+    )[0]
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_full_pipeline_runs_and_stays_in_range():
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    out = RA.rand_augment(jnp.asarray(imgs), jax.random.PRNGKey(0))
+    out = np.asarray(out)
+    assert out.shape == imgs.shape
+    assert out.min() >= 0 and out.max() <= 255
+    # with prob 0.5/op some images should differ and (likely) some not
+    assert np.abs(out - imgs).sum() > 0
+
+
+def test_pipeline_deterministic():
+    imgs = jnp.asarray(_img(10)[None])
+    a = RA.rand_augment(imgs, jax.random.PRNGKey(7))
+    b = RA.rand_augment(imgs, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
