@@ -2,32 +2,117 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Measures sustained training throughput (images/sec/chip) of the most
-advanced training path currently in the framework.  The reference
-publishes no numbers (BASELINE.md); the comparison base is the documented
-assumption below, refined as reference measurements land.
+Headline metric (BASELINE.md): histo patches/sec/chip for MoMA student
+training — effiB0 student + effiB0 EMA teacher, 512x512 patches, BS 64,
+K=16384 queue, mlp head + self attention, bf16 — the canonical
+run_moma.sh config.  The reference publishes no numbers; vs_baseline uses
+the documented A100 estimate below until a measured reference lands.
+
+Extra benches (printed to stderr for the log, not the driver line):
+  --all : also run the CIFAR teacher-train throughput config.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference A100 throughput assumption for the matching config (see
-# BASELINE.md — the reference repo publishes none; this is the working
-# estimate for a 2-GPU DDP run divided per GPU, to be replaced by a
-# measured number when one exists).
-ASSUMED_REF_IPS_PER_CHIP = {
-    "cifar_resnet32x4_bs512": 11000.0,  # torch A100 estimate, CIFAR 32x32
-    "moma_effib0_512_bs64": 350.0,      # torch A100 estimate, histo 512x512
+from moma_tpu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+# Reference A100 throughput assumptions (torch DDP, per GPU) — see
+# BASELINE.md; replace with measured numbers when available.
+ASSUMED_REF = {
+    "moma_effib0_512_bs64": 330.0,   # img/s/A100, effiB0 fwd(s)+fwd(t)+bwd @512^2
+    "cifar_resnet32x4_bs512": 11000.0,
 }
 
 
-def bench_vanilla_cifar(batch_size: int = 512, steps: int = 50, warmup: int = 10):
+def _time_steps(step_fn, state, batch, rng, steps, warmup):
+    metrics = None
+    for i in range(warmup):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 10_000 + i))
+    jax.block_until_ready(metrics["loss"])
+    return time.perf_counter() - t0
+
+
+def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
+    from moma_tpu.core.config import Config, DistillConfig, MomaConfig
+    from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.histo_augment import make_histo_augment
+    from moma_tpu.models import create_model
+    from moma_tpu.moma.cmo import CMOHeads
+    from moma_tpu.moma.queue import QueueState
+    from moma_tpu.train.distill import probe_shapes
+    from moma_tpu.train.moma import make_moma_train_step
+    from moma_tpu.train.state import MomaState, make_sgd
+
+    cfg = Config()
+    cfg.data.dataset = "prostate_hv"
+    cfg.data.batch_size = batch_size
+    cfg.data.image_size = image_size
+    cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+    cfg.moma = MomaConfig(feat_dim=512, nce_k=16384, nce_t=0.15, alpha=0.999,
+                          mem="MoCo", head="mlp", attn="self")
+    cfg.model_s.n_cls = 4
+
+    mesh = create_mesh()
+    model = create_model("effiB0", num_classes=4, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    sample = jnp.zeros((2, image_size, image_size, 3), jnp.bfloat16)
+    vars_s = model.init(k1, sample, train=False)
+    vars_t = model.init(k2, sample, train=False)
+    fs, _ = probe_shapes(model, image_size, batch_size)
+    s_dim = fs[-1][-1]
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=512, s_dim=s_dim,
+                     t_dim=s_dim, dtype=jnp.bfloat16)
+    cmo_params, cmo_bs = heads.init(k3)
+    queue = QueueState.create(k4, cfg.moma.nce_k, 512)
+    tx = make_sgd(lr_schedule(0.05, 50, 100, cosine=True), 0.9, 1e-4)
+    params = {"student": vars_s["params"], "cmo": cmo_params}
+    state = MomaState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"student": vars_s["batch_stats"], "cmo": cmo_bs},
+        teacher_params=vars_t["params"],
+        teacher_batch_stats=vars_t["batch_stats"],
+        queue=queue, opt_state=tx.init(params), tx=tx,
+        apply_fn=model.apply, teacher_apply_fn=model.apply,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    augment = make_histo_augment(cfg)
+    step_fn = make_moma_train_step(cfg, heads, augment, donate=True)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": jax.device_put(
+            rs.randint(0, 256, (batch_size, image_size, image_size, 3),
+                       dtype=np.uint8),
+            data_sharding(mesh),
+        ),
+        "label": jax.device_put(
+            rs.randint(0, 4, (batch_size,)).astype(np.int32),
+            data_sharding(mesh, ndim=1),
+        ),
+    }
+    dt = _time_steps(step_fn, state, batch, jax.random.PRNGKey(1), steps, warmup)
+    n_chips = len(jax.devices())
+    return batch_size * steps / dt / n_chips
+
+
+def bench_cifar(batch_size=512, steps=50, warmup=10):
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
     from moma_tpu.data.augment import cifar_train_augment
@@ -42,45 +127,39 @@ def bench_vanilla_cifar(batch_size: int = 512, steps: int = 50, warmup: int = 10
     )
     tx = make_sgd(lr_schedule(0.05, 240, 100, cosine=True), 0.9, 5e-4)
     state = TrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        tx=tx,
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
     step_fn = make_vanilla_train_step(augment_fn=cifar_train_augment, donate=True)
-
-    rng_img = np.random.RandomState(0)
-    images = rng_img.randint(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8)
-    labels = rng_img.randint(0, 100, (batch_size,)).astype(np.int32)
+    rs = np.random.RandomState(0)
     batch = {
-        "image": jax.device_put(images, data_sharding(mesh)),
-        "label": jax.device_put(labels, data_sharding(mesh, ndim=1)),
+        "image": jax.device_put(
+            rs.randint(0, 256, (batch_size, 32, 32, 3), dtype=np.uint8),
+            data_sharding(mesh),
+        ),
+        "label": jax.device_put(
+            rs.randint(0, 100, (batch_size,)).astype(np.int32),
+            data_sharding(mesh, ndim=1),
+        ),
     }
-    rng = jax.random.PRNGKey(1)
-
-    for i in range(warmup):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, 1000 + i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
-
-    n_chips = len(jax.devices())
-    ips_per_chip = batch_size * steps / dt / n_chips
-    return ips_per_chip, "cifar_resnet32x4_bs512"
+    dt = _time_steps(step_fn, state, batch, jax.random.PRNGKey(1), steps, warmup)
+    return batch_size * steps / dt / len(jax.devices())
 
 
 def main():
-    ips, key = bench_vanilla_cifar()
-    ref = ASSUMED_REF_IPS_PER_CHIP[key]
+    run_all = "--all" in sys.argv
+    ips = bench_moma_histo()
+    ref = ASSUMED_REF["moma_effib0_512_bs64"]
+    if run_all:
+        cifar = bench_cifar()
+        print(f"[extra] cifar resnet32x4 train: {cifar:.1f} img/s/chip "
+              f"({cifar / ASSUMED_REF['cifar_resnet32x4_bs512']:.2f}x est. ref)",
+              file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": f"train images/sec/chip ({key})",
+                "metric": "MoMA train histo patches/sec/chip (effiB0, 512px, BS64, K=16384)",
                 "value": round(ips, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(ips / ref, 3),

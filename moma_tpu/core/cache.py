@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache setup.
+
+effiB0@512 MoMA steps are large XLA programs (student fwd+bwd + two
+teacher forwards + on-device RandAugment); cold compiles run minutes on
+the remote-compile path.  A persistent cache makes every process after
+the first start in seconds.  Call `enable_compilation_cache()` before the
+first jit execution (all CLIs, bench.py and __graft_entry__ do).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    import jax
+
+    path = path or os.environ.get(
+        "MOMA_TPU_XLA_CACHE", os.path.expanduser("~/.cache/moma_tpu_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return path

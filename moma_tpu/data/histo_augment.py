@@ -47,6 +47,20 @@ def make_histo_augment(cfg):
     return augment
 
 
+def make_two_view_augment(cfg):
+    """Two independently-augmented views of each image — the
+    DatasetSerial2views capability (dataset/dataset.py:51-85 /
+    histo_dataset.py:422-647), on-device: same base batch, two rng
+    streams.  Returns (view1, view2)."""
+    single = make_histo_augment(cfg)
+
+    def augment(images, rng):
+        k1, k2 = jax.random.split(rng)
+        return single(images, k1), single(images, k2)
+
+    return augment
+
+
 def make_histo_eval(cfg):
     def eval_normalize(images):
         x = images.astype(jnp.float32) / 255.0

@@ -115,3 +115,23 @@ TEST_ONLY_PREPARERS = {
 
 def class_histogram(pairs: Pairs) -> Counter:
     return Counter(lbl for _, lbl in pairs)
+
+
+def stratified_kfold(pairs: Pairs, fold_idx: int, n_folds: int = 5,
+                     seed: int = 5) -> Tuple[Pairs, Pairs]:
+    """(train, valid) for fold `fold_idx` with per-class round-robin
+    assignment — the 5-fold capability (dataset/histo_dataset.py:848-1035,
+    sklearn StratifiedKFold) without the sklearn dependency."""
+    import numpy as np
+
+    labels = np.asarray([l for _, l in pairs])
+    rng = np.random.RandomState(seed)
+    fold_of = np.empty(len(pairs), dtype=np.int64)
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        rng.shuffle(idx)
+        for j, i in enumerate(idx):
+            fold_of[i] = j % n_folds
+    train = [p for p, f in zip(pairs, fold_of) if f != fold_idx]
+    valid = [p for p, f in zip(pairs, fold_of) if f == fold_idx]
+    return train, valid

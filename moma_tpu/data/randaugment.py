@@ -77,21 +77,25 @@ def _solarize_add_lut(B, magnitude):
 
 
 def _histograms(x_int: jax.Array) -> jax.Array:
-    """(B,H,W,3) int32 -> (B,3,256) counts via one-hot matmul (MXU) over
-    flattened pixels — scatter-free, SPMD-friendly."""
+    """(B,H,W,3) int32 -> (B,3,256) counts, scatter-free.
+
+    TPU scatters serialize; instead decompose each value v = 16*hi + lo
+    and count via an MXU matmul of the two 16-wide one-hots:
+        hist2d[b,c,hi,lo] = sum_n oh_hi[b,c,n,hi] * oh_lo[b,c,n,lo]
+    One (16,N)x(N,16) contraction per image-channel; the 16-wide one-hots
+    are fused into the matmul tiles by XLA (never materialized at full N).
+    """
     B, H, W, C = x_int.shape
-    flat = x_int.reshape(B, H * W, C)
-    # segment counting via comparisons in chunks of the 256 bins would be
-    # (B,HW,3,256) — too big; use scatter-add instead
-    hist = jnp.zeros((B, C, 256), jnp.float32)
-    bidx = jnp.arange(B)[:, None, None]
-    cidx = jnp.arange(C)[None, None, :]
-    hist = hist.at[
-        jnp.broadcast_to(bidx, flat.shape),
-        jnp.broadcast_to(cidx, flat.shape),
-        flat,
-    ].add(1.0)
-    return hist
+    flat = jnp.transpose(x_int, (0, 3, 1, 2)).reshape(B, C, H * W)
+    hi = (flat // 16).astype(jnp.int32)
+    lo = (flat % 16).astype(jnp.int32)
+    bins = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == bins).astype(jnp.bfloat16)  # (B,C,N,16)
+    oh_lo = (lo[..., None] == bins).astype(jnp.bfloat16)
+    hist2d = jnp.einsum(
+        "bcnh,bcnl->bchl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )
+    return hist2d.reshape(B, C, 256)
 
 
 def _autocontrast_lut(hist: jax.Array) -> jax.Array:
@@ -202,18 +206,51 @@ def _affine_sample(x: jax.Array, m: jax.Array, fill: jax.Array) -> jax.Array:
 
 def _smooth(x: jax.Array) -> jax.Array:
     """PIL ImageFilter.SMOOTH: 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13; PIL keeps
-    the 1px border unfiltered."""
-    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    the 1px border unfiltered.  Implemented as 8 shifted adds (pure VPU,
+    NHWC-native) — a 1-channel conv would waste the lane dimension."""
     B, H, W, C = x.shape
-    y = jax.lax.conv_general_dilated(
-        x.transpose(0, 3, 1, 2).reshape(B * C, 1, H, W),
-        k[None, None],
-        window_strides=(1, 1),
-        padding="SAME",
-    ).reshape(B, C, H, W).transpose(0, 2, 3, 1)
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = 5.0 * x
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            acc = acc + p[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W, :]
+    y = acc / 13.0
     border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     return jnp.where(border[None, :, :, None], x, y)
+
+
+def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
+    """Per-image LUT application WITHOUT a per-lane gather.
+
+    A (B,3,256) table lookup lowered as gather costs ~770ms/batch at
+    512^2x64 on v5e (per-lane dynamic indexing).  Decompose v = 16*hi + lo
+    and contract two 16-wide one-hots against the LUT as a (16,16) matrix:
+        out[n] = oh_hi[n,:] @ L @ oh_lo[n,:]
+    lax.map over the batch keeps the (C,N,16) intermediate at ~25 MB.
+    f32 matmuls keep fractional LUT entries (autocontrast) exact.
+    """
+    B, H, W, C = x_int.shape
+    N = H * W
+    L = lut.reshape(B, C, 16, 16)
+    flat = jnp.transpose(x_int, (0, 3, 1, 2)).reshape(B, C, N)
+    bins = jnp.arange(16, dtype=jnp.int32)
+
+    def per_image(args):
+        L_i, flat_i = args  # (C,16,16), (C,N)
+        hi = flat_i // 16
+        lo = flat_i % 16
+        oh_hi = (hi[..., None] == bins).astype(jnp.float32)  # (C,N,16)
+        t = jnp.einsum(
+            "cnh,chl->cnl", oh_hi, L_i, preferred_element_type=jnp.float32
+        )
+        oh_lo = (lo[..., None] == bins).astype(jnp.float32)
+        return jnp.sum(t * oh_lo, axis=-1)  # (C,N)
+
+    out = jax.lax.map(per_image, (L, flat))  # (B,C,N)
+    return jnp.transpose(out.reshape(B, C, H, W), (0, 2, 3, 1))
 
 
 def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
@@ -232,7 +269,7 @@ def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     x_int = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
     hist = _histograms(x_int)
 
-    # ---- stage 1: LUT
+    # ---- stage 1: LUT (only the LUT ops produce a non-identity table)
     lut = _identity_lut(B)
     lut = jnp.where((op == 0)[:, None, None], _autocontrast_lut(hist), lut)
     lut = jnp.where((op == 1)[:, None, None], _equalize_lut(hist), lut)
@@ -240,31 +277,22 @@ def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     lut = jnp.where((op == 4)[:, None, None], _posterize_lut(B, mag), lut)
     lut = jnp.where((op == 5)[:, None, None], _solarize_lut(B, mag), lut)
     lut = jnp.where((op == 6)[:, None, None], _solarize_add_lut(B, mag), lut)
-    # gather: out[b,h,w,c] = lut[b, c, x_int[b,h,w,c]]
-    bidx = jnp.arange(B)[:, None, None, None]
-    cidx = jnp.arange(C)[None, None, None, :]
-    y = lut[jnp.broadcast_to(bidx, x_int.shape),
-            jnp.broadcast_to(cidx, x_int.shape), x_int]
+    y = _apply_lut(lut, x_int)
 
-    # ---- stage 2: color matrix (Color 7 / Contrast 8 / Brightness 9)
+    # ---- stage 2: enhance blend as scalars: out = a*x + b*round(luma) + c
+    # (Color 7: degenerate = grayscale; Contrast 8: degenerate = scalar
+    # mean-of-gray; Brightness 9: degenerate = black — PIL ImageEnhance)
     f = _enhance_factor(mag)
-    eye = jnp.eye(3, dtype=jnp.float32)
-    M = jnp.broadcast_to(eye, (B, 3, 3))
-    bias = jnp.zeros((B, 3), jnp.float32)
-    color_M = f[:, None, None] * eye + (1 - f)[:, None, None] * jnp.broadcast_to(
-        LUMA[None, :, None] * 0 + LUMA[None, None, :], (B, 3, 3)
+    a = jnp.where((op == 7) | (op == 8) | (op == 9), f, 1.0)
+    b = jnp.where(op == 7, 1.0 - f, 0.0)
+    luma = jnp.floor(jnp.einsum("bhwc,c->bhw", y, LUMA) + 0.5)
+    mean_l = jnp.floor(jnp.mean(luma, axis=(1, 2)) + 0.5)
+    c_off = jnp.where(op == 8, (1.0 - f) * mean_l, 0.0)
+    y = (
+        a[:, None, None, None] * y
+        + b[:, None, None, None] * luma[..., None]
+        + c_off[:, None, None, None]
     )
-    M = jnp.where((op == 7)[:, None, None], color_M, M)
-    # contrast: PIL mean = int(mean(L pixels of rounded luma hist) + 0.5)
-    luma_hist = jnp.einsum("bcv,c->bv", hist, LUMA)  # approx of L-hist
-    # PIL computes mean over convert('L') pixels: L = round(luma(x));
-    # approximate with mean of luma over pixels (sub-0.5 difference)
-    mean_l = jnp.einsum("bhwc,c->b", y, LUMA) / (H * W)
-    mean_l = jnp.floor(mean_l + 0.5)
-    M = jnp.where((op == 8)[:, None, None], f[:, None, None] * eye, M)
-    bias = jnp.where((op == 8)[:, None], ((1 - f) * mean_l)[:, None], bias)
-    M = jnp.where((op == 9)[:, None, None], f[:, None, None] * eye, M)
-    y = jnp.einsum("bij,bhwj->bhwi", M, y) + bias[:, None, None, :]
 
     # ---- stage 3: sharpness blend (op 10)
     sharp_f = jnp.where(op == 10, f, 1.0)

@@ -183,3 +183,80 @@ class CMOHeads:
                                  mutable=["batch_stats"])
             return out, mut["batch_stats"]
         return mod.apply(variables, x, train=train), None
+
+
+class RFFHead(nn.Module):
+    """Random-Fourier-Feature projection head (criterion_moco_att.py:35-112,
+    RFF/RFF_fixed): out = sqrt(2/in_dim) * cos(x @ W + b), W ~ N(0,1),
+    b ~ U(0, 2*pi).  'fixed' keeps one draw for the module's lifetime
+    (a non-trainable constant here); non-fixed redraws per call via an rng.
+    Optional extra the reference exposes but never reaches from its CLI.
+    """
+
+    out_dim: int = 128
+    w_scale: float = 1.0
+    b_scale: float = 1.0
+    fixed: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, rng: jax.Array | None = None):
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        in_dim = x.shape[-1]
+        if self.fixed:
+            W = self.variable(
+                "constants", "B_w",
+                lambda: jax.random.normal(
+                    self.make_rng("params"), (in_dim, self.out_dim)
+                ) * self.w_scale,
+            ).value
+            b = self.variable(
+                "constants", "B_b",
+                lambda: jax.random.uniform(
+                    self.make_rng("params"), (1, self.out_dim),
+                    minval=0.0, maxval=6.283,
+                ) * self.b_scale,
+            ).value
+        else:
+            assert rng is not None, "non-fixed RFF needs a per-call rng"
+            k1, k2 = jax.random.split(rng)
+            W = jax.random.normal(k1, (in_dim, self.out_dim)) * self.w_scale
+            b = jax.random.uniform(k2, (1, self.out_dim), minval=0.0,
+                                   maxval=6.283) * self.b_scale
+        return (2.0 / in_dim) ** 0.5 * jnp.cos(x @ W + b)
+
+
+class CMOEmaTecHeads:
+    """3-way head set (student / EMA student / teacher) — the reference's
+    CMO_EmaTec variant (criterion_moco_att.py:344-419) used for cross-arch
+    MoMA where the teacher cannot be EMA'd from the student (e.g. ViT
+    teacher, CNN student): the EMA momentum encoder is a SEPARATE copy of
+    the student while the fixed teacher contributes its own keys.
+    """
+
+    def __init__(self, head: str, feat_dim: int, s_dim: int, t_dim: int,
+                 dtype=None):
+        self.head = head
+        self.feat_dim = feat_dim
+        self.embed_s = ProjectionHead(head, feat_dim, dtype=dtype)
+        self.embed_ema = ProjectionHead(head, feat_dim, dtype=dtype)
+        self.embed_t = ProjectionHead(head, feat_dim, dtype=dtype)
+        self._dims = {"embed_s": s_dim, "embed_ema": s_dim, "embed_t": t_dim}
+
+    def init(self, rng: jax.Array):
+        params, batch_stats = {}, {}
+        for i, (name, mod) in enumerate(
+            [("embed_s", self.embed_s), ("embed_ema", self.embed_ema),
+             ("embed_t", self.embed_t)]
+        ):
+            v = mod.init(jax.random.fold_in(rng, i),
+                         jnp.zeros((2, self._dims[name])), train=False)
+            params[name] = v.get("params", {})
+            if "batch_stats" in v:
+                batch_stats[name] = v["batch_stats"]
+        return params, batch_stats
+
+    def embed(self, which: str, params: dict, x, train: bool = True):
+        mod = {"embed_s": self.embed_s, "embed_ema": self.embed_ema,
+               "embed_t": self.embed_t}[which]
+        return mod.apply({"params": params[which]}, x, train=train)

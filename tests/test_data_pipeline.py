@@ -1,0 +1,110 @@
+"""Host pipeline tests: Loader shuffling/padding, CRD instance sampler,
+manifest preparers on a synthetic file tree, packed cache round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from moma_tpu.data.pipeline import ArrayDataset, Loader, synthetic_dataset
+from moma_tpu.data.sampler import InstanceSampler
+
+
+def test_loader_train_reshuffles_per_epoch():
+    ds = synthetic_dataset(40, 8, 4, seed=0)
+    loader = Loader(ds, batch_size=8, train=True, seed=1)
+    loader.set_epoch(0)
+    order0 = np.concatenate([b["index"] for b in loader])
+    loader.set_epoch(1)
+    order1 = np.concatenate([b["index"] for b in loader])
+    assert not np.array_equal(order0, order1)
+    loader.set_epoch(0)
+    order0b = np.concatenate([b["index"] for b in loader])
+    np.testing.assert_array_equal(order0, order0b)  # deterministic per epoch
+
+
+def test_loader_train_drops_last():
+    ds = synthetic_dataset(42, 8, 4, seed=0)
+    loader = Loader(ds, batch_size=8, train=True)
+    assert len(loader) == 5
+    for b in loader:
+        assert b["image"].shape[0] == 8
+
+
+def test_loader_eval_pads_tail_with_mask():
+    ds = synthetic_dataset(20, 8, 4, seed=0)
+    loader = Loader(ds, batch_size=8, train=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["mask"].sum() == 4
+    assert batches[-1]["image"].shape[0] == 8
+    total_valid = sum(b["mask"].sum() for b in batches)
+    assert total_valid == 20
+
+
+def test_instance_sampler_exact_mode():
+    labels = np.asarray([0, 0, 1, 1, 2, 2, 2])
+    s = InstanceSampler(labels, k=4, mode="exact", seed=0)
+    idx = np.asarray([0, 3, 6])
+    out = s.sample(idx)
+    assert out.shape == (3, 5)
+    np.testing.assert_array_equal(out[:, 0], idx)  # positive = anchor
+    for b in range(3):
+        neg_labels = labels[out[b, 1:]]
+        assert (neg_labels != labels[idx[b]]).all()
+
+
+def test_instance_sampler_relax_mode():
+    labels = np.asarray([0] * 5 + [1] * 5)
+    s = InstanceSampler(labels, k=3, mode="relax", seed=0)
+    out = s.sample(np.asarray([0, 7]))
+    assert labels[out[0, 0]] == 0 and labels[out[1, 0]] == 1
+    assert (labels[out[0, 1:]] == 1).all()
+    assert (labels[out[1, 1:]] == 0).all()
+
+
+def test_manifest_prostate_hv(tmp_path):
+    from moma_tpu.data.manifests import prepare_prostate_hv
+
+    # synthetic file tree matching the reference's naming convention
+    for split, slide in [
+        ("patches_train_750_v0", "ZT111_1"),
+        ("patches_train_750_v0", "ZT199_2"),
+        ("patches_validation_750_v0", "ZT76_1"),
+    ]:
+        d = tmp_path / split / slide
+        d.mkdir(parents=True)
+        for i, label in enumerate([0, 1, 3]):
+            (d / f"patch_{i}_{label}.jpg").write_bytes(b"x")
+    t = tmp_path / "patches_test_750_v0" / "patho_1" / "case1"
+    t.mkdir(parents=True)
+    (t / "p_0_2.jpg").write_bytes(b"x")
+
+    train, valid, test = prepare_prostate_hv(str(tmp_path))
+    assert len(train) == 6 and len(valid) == 3 and len(test) == 1
+    assert sorted({l for _, l in train}) == [0, 1, 3]
+    assert test[0][1] == 2
+
+
+def test_packed_cache_roundtrip(tmp_path):
+    from PIL import Image
+
+    from moma_tpu.data.histo import PackedCache
+
+    rs = np.random.RandomState(0)
+    pairs = []
+    for i in range(5):
+        arr = rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i}_{i % 3}.png"
+        Image.fromarray(arr).save(p)
+        pairs.append((str(p), i % 3))
+    cache = PackedCache(str(tmp_path / "cache"))
+    ds = cache.build_or_open(pairs, size=16)
+    assert len(ds) == 5
+    np.testing.assert_array_equal(ds.labels, [0, 1, 2, 0, 1])
+    # decode parity for the first image (no resize: stored size == source)
+    with Image.open(pairs[0][0]) as im:
+        np.testing.assert_array_equal(ds.images[0], np.asarray(im.convert("RGB")))
+    # reopening hits the cache (no rebuild): same bytes
+    ds2 = cache.build_or_open(pairs, size=16)
+    np.testing.assert_array_equal(np.asarray(ds.images), np.asarray(ds2.images))
