@@ -138,6 +138,9 @@ class Config:
 
     def finalize(self) -> "Config":
         """Apply cross-field derivations the reference bakes into parse_option."""
+        if self.distill.distill == "cmo":
+            # train_student_comparison.py names the moma method 'cmo' (:332)
+            self.distill.distill = "moma"
         n_cls = DATASET_NUM_CLASSES.get(self.data.dataset, self.model_s.n_cls)
         self.model_s.n_cls = n_cls
         if self.model_t is not None:

@@ -105,12 +105,26 @@ def random_resized_crop(
     i = jnp.floor(jax.random.uniform(k_i, (B,)) * (H - h + 1))
     j = jnp.floor(jax.random.uniform(k_j, (B,)) * (W - w + 1))
 
-    # bilinear resize of the (i,j,h,w) crop to (out_size, out_size)
+    # bilinear resize of the (i,j,h,w) crop to (out_size, out_size).
+    # Per-element gathers serialize on TPU; exact bilinear resampling is a
+    # banded matrix, so resize-as-matmul: per-sample (L, out) weight
+    # matrices contracted on the MXU (~1 ms at 512^2 x 64 vs ~1 s gather).
     ys = jnp.linspace(0.0, 1.0, out_size, endpoint=False) + 0.5 / out_size
-    xs = ys
     src_y = i[:, None] + ys[None, :] * h[:, None] - 0.5  # (B,S)
-    src_x = j[:, None] + xs[None, :] * w[:, None] - 0.5
-    return _bilinear_gather(images.astype(jnp.float32), src_y, src_x)
+    src_x = j[:, None] + ys[None, :] * w[:, None] - 0.5
+
+    def interp_matrix(src, L):
+        # M[b, l, s] = max(0, 1 - |src[b,s] - l|), rows clamped at borders
+        grid = jnp.arange(L, dtype=jnp.float32)[None, :, None]
+        s = jnp.clip(src, 0.0, L - 1)[:, None, :]
+        return jnp.maximum(0.0, 1.0 - jnp.abs(s - grid))  # (B, L, S)
+
+    My = interp_matrix(src_y, H)
+    Mx = interp_matrix(src_x, W)
+    x = images.astype(jnp.float32)
+    x = jnp.einsum("bhs,bhwc->bswc", My, x)   # rows -> S
+    x = jnp.einsum("bwt,bswc->bstc", Mx, x)   # cols -> S
+    return x
 
 
 def _bilinear_gather(images: jax.Array, src_y: jax.Array, src_x: jax.Array) -> jax.Array:

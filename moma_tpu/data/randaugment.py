@@ -3,32 +3,34 @@
 prob=0.5/op, magnitude ~ N(m, mstd) clipped to [0,10], default
 rand-n2-m10-mstd0.5; histo wiring dataset/histo_dataset.py:220-232).
 
-Instead of materializing 15 per-op branch tensors (B*H*W*C*15 floats), a
-layer decomposes into four fused stages of which exactly ONE is
-non-identity for the sampled op:
-
-  1. LUT stage      — AutoContrast, Equalize, Invert, PosterizeTpu,
-                      Solarize, SolarizeAdd as a per-image (3,256) lookup
-  2. color-matrix   — Color / Contrast / Brightness as out = M x + b
-  3. sharpness blend— degenerate = PIL SMOOTH conv (border kept)
-  4. affine warp    — Rotate / ShearX/Y / TranslateX/YRel via one bilinear
-                      gather with per-image inverse matrix + fill color
-
-Cost per layer: one 256-gather + one 3x3 matvec + one 3x3 depthwise conv
-+ one bilinear gather — all fused by XLA into the surrounding step.
-Deviation from PIL (documented): geometric resampling is always bilinear
-(PIL picks randomly from {bilinear, bicubic}).
+Design notes (all measured on v5e at 512^2 x 64):
+  * One layer decomposes into four fused stages of which exactly ONE is
+    non-identity for the sampled op: LUT -> enhance-blend -> sharpness ->
+    affine warp.  Branch-per-op would materialize 15 full-image tensors.
+  * NO per-element gathers/scatters anywhere: TPU serializes them
+    (table-LUT gather: 770 ms; 2-D warp gather: 1.5 s; take_along_axis:
+    similar).  Instead:
+      - histograms  = 16x16 one-hot MXU contraction        (370 -> 12 ms)
+      - LUT apply   = one-hot x (16,16)-matrix contraction  (770 -> ~5 ms)
+      - affine warp = Paeth 3-shear decomposition, each pass a binary
+        ladder of STATIC rolls + selects                   (1.5 s -> ~30 ms)
+  * Internals run in (B, C, H, W): with NHWC the C=3 channel axis sits on
+    the 128-wide lane dimension (2.3% utilization); channels-first puts
+    (H, W) on (sublanes, lanes) at full width.  Convert once per call.
 
 Ops are indexed as in the reference's _RAND_TRANSFORMS (RandAugment.py:312-329):
   0 AutoContrast, 1 Equalize, 2 Invert, 3 Rotate, 4 PosterizeTpu,
   5 Solarize, 6 SolarizeAdd, 7 Color, 8 Contrast, 9 Brightness,
   10 Sharpness, 11 ShearX, 12 ShearY, 13 TranslateXRel, 14 TranslateYRel
+
+Deviation from PIL (documented): geometric resampling is separable
+3-pass bilinear (PIL: one-shot, random bilinear/bicubic choice).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence, Tuple
+import math
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -77,18 +79,16 @@ def _solarize_add_lut(B, magnitude):
 
 
 def _histograms(x_int: jax.Array) -> jax.Array:
-    """(B,H,W,3) int32 -> (B,3,256) counts, scatter-free.
+    """(B,C,H,W) int32 -> (B,C,256) counts, scatter-free.
 
-    TPU scatters serialize; instead decompose each value v = 16*hi + lo
-    and count via an MXU matmul of the two 16-wide one-hots:
+    TPU scatters serialize; decompose each value v = 16*hi + lo and count
+    via an MXU matmul of the two 16-wide one-hots:
         hist2d[b,c,hi,lo] = sum_n oh_hi[b,c,n,hi] * oh_lo[b,c,n,lo]
-    One (16,N)x(N,16) contraction per image-channel; the 16-wide one-hots
-    are fused into the matmul tiles by XLA (never materialized at full N).
     """
-    B, H, W, C = x_int.shape
-    flat = jnp.transpose(x_int, (0, 3, 1, 2)).reshape(B, C, H * W)
-    hi = (flat // 16).astype(jnp.int32)
-    lo = (flat % 16).astype(jnp.int32)
+    B, C, H, W = x_int.shape
+    flat = x_int.reshape(B, C, H * W)
+    hi = flat // 16
+    lo = flat % 16
     bins = jnp.arange(16, dtype=jnp.int32)
     oh_hi = (hi[..., None] == bins).astype(jnp.bfloat16)  # (B,C,N,16)
     oh_lo = (lo[..., None] == bins).astype(jnp.bfloat16)
@@ -116,7 +116,6 @@ def _equalize_lut(hist: jax.Array) -> jax.Array:
     lut[i] = (cumsum[:i] + step//2) // step, clipped; identity if step==0."""
     v = jnp.arange(256, dtype=jnp.float32)
     nonzero = hist > 0
-    # count of the highest occupied bin:
     last_idx = 255 - jnp.argmax(nonzero[..., ::-1], axis=-1)
     last_count = jnp.take_along_axis(hist, last_idx[..., None], axis=-1)[..., 0]
     total = jnp.sum(hist, axis=-1)
@@ -128,6 +127,39 @@ def _equalize_lut(hist: jax.Array) -> jax.Array:
     )
     lut = jnp.clip(lut, 0.0, 255.0)
     return jnp.where((step > 0)[..., None], lut, v[None, None, :])
+
+
+def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
+    """Per-image LUT application WITHOUT a per-lane gather (x_int NCHW).
+
+    Decompose v = 16*hi + lo and contract two 16-wide one-hots against the
+    LUT as a (16,16) matrix: out[n] = oh_hi[n,:] @ L @ oh_lo[n,:].
+    Batch processed in chunks to bound the (chunk,C,N,16) intermediate.
+    """
+    B, C, H, W = x_int.shape
+    N = H * W
+    L = lut.reshape(B, C, 16, 16)
+    flat = x_int.reshape(B, C, N)
+    bins = jnp.arange(16, dtype=jnp.int32)
+
+    def per_chunk(args):
+        L_i, flat_i = args  # (chunk,C,16,16), (chunk,C,N)
+        hi = flat_i // 16
+        lo = flat_i % 16
+        oh_hi = (hi[..., None] == bins).astype(jnp.float32)
+        t = jnp.einsum(
+            "bcnh,bchl->bcnl", oh_hi, L_i, preferred_element_type=jnp.float32
+        )
+        oh_lo = (lo[..., None] == bins).astype(jnp.float32)
+        return jnp.sum(t * oh_lo, axis=-1)
+
+    chunk = max(1, min(B, 8))
+    if B % chunk:
+        chunk = 1
+    Lc = L.reshape(B // chunk, chunk, C, 16, 16)
+    fc = flat.reshape(B // chunk, chunk, C, N)
+    out = jax.lax.map(per_chunk, (Lc, fc)).reshape(B, C, N)
+    return out.reshape(B, C, H, W)
 
 
 # -------------------------------------------------------------- the layer
@@ -172,92 +204,127 @@ def _affine_matrix(op, magnitude, sign, size: int):
     return m
 
 
+def _roll_shift(x: jax.Array, k: jax.Array, axis: int) -> jax.Array:
+    """out[..., i, ...] = x[..., (i + k) mod L, ...] with per-(b,row)
+    integer k — GATHER-FREE binary ladder of static rolls (x NCHW).
+
+    k: (B, R) where R indexes the orthogonal spatial axis (rows of H when
+    axis==3, columns of W when axis==2).
+    """
+    L = x.shape[axis]
+    s = jnp.mod(k, L)
+    if axis == 3:  # shifting along W; k indexed by H row
+        gate = lambda u: u[:, None, :, None]
+    else:  # axis == 2: shifting along H; k indexed by W column
+        gate = lambda u: u[:, None, None, :]
+    y = x
+    bit = 1
+    n_stages = max(1, int(math.ceil(math.log2(L))))
+    for j in range(n_stages):
+        use = ((s >> j) & 1) == 1
+        rolled = jnp.roll(y, -bit, axis=axis)
+        y = jnp.where(gate(use), rolled, y)
+        bit *= 2
+    return y
+
+
+def _resample_x(x: jax.Array, shift: jax.Array, fill: jax.Array) -> jax.Array:
+    """out[b,c,y,i] = lerp x[b,c,y,i+shift[b,y]], OOB -> fill (NCHW)."""
+    B, C, H, W = x.shape
+    k = jnp.floor(shift)
+    frac = (shift - k)[:, None, :, None]
+    y0 = _roll_shift(x, k.astype(jnp.int32), axis=3)
+    y1 = jnp.roll(y0, -1, axis=3)
+    src0 = jnp.arange(W, dtype=jnp.float32)[None, None, :] + k[:, :, None]  # (B,H,W)
+    v0 = ((src0 >= 0) & (src0 <= W - 1))[:, None, :, :]
+    v1 = ((src0 + 1 >= 0) & (src0 + 1 <= W - 1))[:, None, :, :]
+    fill_b = fill[None, :, None, None]
+    return (
+        jnp.where(v0, y0, fill_b) * (1 - frac)
+        + jnp.where(v1, y1, fill_b) * frac
+    )
+
+
+def _resample_y(x: jax.Array, shift: jax.Array, fill: jax.Array) -> jax.Array:
+    """out[b,c,j,x] = lerp x[b,c,j+shift[b,x],x]; shift (B,W) (NCHW)."""
+    B, C, H, W = x.shape
+    k = jnp.floor(shift)
+    frac = (shift - k)[:, None, None, :]
+    y0 = _roll_shift(x, k.astype(jnp.int32), axis=2)
+    y1 = jnp.roll(y0, -1, axis=2)
+    src0 = jnp.arange(H, dtype=jnp.float32)[None, :, None] + k[:, None, :]  # (B,H,W)
+    v0 = ((src0 >= 0) & (src0 <= H - 1))[:, None, :, :]
+    v1 = ((src0 + 1 >= 0) & (src0 + 1 <= H - 1))[:, None, :, :]
+    fill_b = fill[None, :, None, None]
+    return (
+        jnp.where(v0, y0, fill_b) * (1 - frac)
+        + jnp.where(v1, y1, fill_b) * frac
+    )
+
+
 def _affine_sample(x: jax.Array, m: jax.Array, fill: jax.Array) -> jax.Array:
-    """Bilinear warp with out-of-bounds fill; x (B,H,W,C), m (B,6)."""
-    B, H, W, C = x.shape
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (H,W)
+    """Bilinear warp for the RandAugment geometric ops via a 3-pass shear
+    decomposition (Paeth; x NCHW): R(psi) = Xshear(-tan(psi/2)) *
+    Yshear(sin psi) * Xshear(-tan(psi/2)); pure shears/translates use one
+    pass (others identity).
+
+    Extracts per-op parameters from the (B,6) inverse matrices:
+      rotate:  [[a,b],[d,e]] = [[cos,-sin],[sin,cos]](psi) -> sin psi = d
+      shearX:  b = s;  shearY: d = s;  transX: c0 = t;  transY: f0 = t
+    """
+    B, C, H, W = x.shape
     a, b, c0, d, e, f0 = (m[:, i] for i in range(6))
-    src_x = a[:, None, None] * gx + b[:, None, None] * gy + c0[:, None, None]
-    src_y = d[:, None, None] * gx + e[:, None, None] * gy + f0[:, None, None]
+    is_rot = (jnp.abs(b) > 1e-12) & (jnp.abs(d) > 1e-12)
+    sin_psi = d
+    tan_half = sin_psi / (1.0 + jnp.maximum(a, 1e-6))
+    cy = (H - 1) / 2.0
+    cx = (W - 1) / 2.0
+    rows = jnp.arange(H, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32)
 
-    x0 = jnp.floor(src_x)
-    y0 = jnp.floor(src_y)
-    wx = src_x - x0
-    wy = src_y - y0
+    # pass 1 (X): rotate -> -tan_half centered; shearX -> b*y; transX -> c0
+    shear_x_slope = jnp.where(is_rot, 0.0, b)
+    p1_slope = jnp.where(is_rot, -tan_half, shear_x_slope)
+    p1_center = jnp.where(is_rot, cy, 0.0)
+    p1_offset = jnp.where(is_rot, 0.0, c0)
+    shift1 = p1_slope[:, None] * (rows[None, :] - p1_center[:, None]) + p1_offset[:, None]
+    y1 = _resample_x(x, shift1, fill)
 
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        bidx = jnp.arange(B)[:, None, None]
-        vals = x[bidx, yi_c, xi_c]  # (B,H,W,C)
-        return jnp.where(valid[..., None], vals, fill[None, None, None, :])
+    # pass 2 (Y): rotate -> +sin centered; shearY -> d*x; transY -> f0
+    p2_slope = jnp.where(is_rot, sin_psi, d)
+    p2_center = jnp.where(is_rot, cx, 0.0)
+    p2_offset = jnp.where(is_rot, 0.0, f0)
+    shift2 = p2_slope[:, None] * (cols[None, :] - p2_center[:, None]) + p2_offset[:, None]
+    y2 = _resample_y(y1, shift2, fill)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    top = v00 * (1 - wx)[..., None] + v01 * wx[..., None]
-    bot = v10 * (1 - wx)[..., None] + v11 * wx[..., None]
-    return top * (1 - wy)[..., None] + bot * wy[..., None]
+    # pass 3 (X): rotate only
+    p3_slope = jnp.where(is_rot, -tan_half, 0.0)
+    shift3 = p3_slope[:, None] * (rows[None, :] - cy)
+    return _resample_x(y2, shift3, fill)
 
 
 def _smooth(x: jax.Array) -> jax.Array:
-    """PIL ImageFilter.SMOOTH: 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13; PIL keeps
-    the 1px border unfiltered.  Implemented as 8 shifted adds (pure VPU,
-    NHWC-native) — a 1-channel conv would waste the lane dimension."""
-    B, H, W, C = x.shape
-    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    """PIL ImageFilter.SMOOTH: 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13 as shifted
+    adds (pure VPU); PIL keeps the 1px border unfiltered.  x NCHW."""
+    B, C, H, W = x.shape
+    p = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
     acc = 5.0 * x
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            acc = acc + p[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W, :]
+            acc = acc + p[:, :, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
     y = acc / 13.0
     border = jnp.zeros((H, W), bool).at[0, :].set(True).at[-1, :].set(True)
     border = border.at[:, 0].set(True).at[:, -1].set(True)
-    return jnp.where(border[None, :, :, None], x, y)
-
-
-def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
-    """Per-image LUT application WITHOUT a per-lane gather.
-
-    A (B,3,256) table lookup lowered as gather costs ~770ms/batch at
-    512^2x64 on v5e (per-lane dynamic indexing).  Decompose v = 16*hi + lo
-    and contract two 16-wide one-hots against the LUT as a (16,16) matrix:
-        out[n] = oh_hi[n,:] @ L @ oh_lo[n,:]
-    lax.map over the batch keeps the (C,N,16) intermediate at ~25 MB.
-    f32 matmuls keep fractional LUT entries (autocontrast) exact.
-    """
-    B, H, W, C = x_int.shape
-    N = H * W
-    L = lut.reshape(B, C, 16, 16)
-    flat = jnp.transpose(x_int, (0, 3, 1, 2)).reshape(B, C, N)
-    bins = jnp.arange(16, dtype=jnp.int32)
-
-    def per_image(args):
-        L_i, flat_i = args  # (C,16,16), (C,N)
-        hi = flat_i // 16
-        lo = flat_i % 16
-        oh_hi = (hi[..., None] == bins).astype(jnp.float32)  # (C,N,16)
-        t = jnp.einsum(
-            "cnh,chl->cnl", oh_hi, L_i, preferred_element_type=jnp.float32
-        )
-        oh_lo = (lo[..., None] == bins).astype(jnp.float32)
-        return jnp.sum(t * oh_lo, axis=-1)  # (C,N)
-
-    out = jax.lax.map(per_image, (L, flat))  # (B,C,N)
-    return jnp.transpose(out.reshape(B, C, H, W), (0, 2, 3, 1))
+    return jnp.where(border[None, None, :, :], x, y)
 
 
 def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                       magnitude_std: float, fill: Sequence[float],
                       prob: float = 0.5) -> jax.Array:
-    """One RandAugment layer on float images in [0,255]; returns [0,255]."""
-    B, H, W, C = x.shape
+    """One RandAugment layer on float NCHW images in [0,255]."""
+    B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
     op = jax.random.randint(k_op, (B,), 0, N_OPS)
     apply = jax.random.bernoulli(k_prob, prob, (B,))
@@ -267,7 +334,8 @@ def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     fill_v = jnp.asarray(fill, jnp.float32)
 
     x_int = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
-    hist = _histograms(x_int)
+    x_int = jax.lax.optimization_barrier(x_int)
+    hist = jax.lax.optimization_barrier(_histograms(x_int))
 
     # ---- stage 1: LUT (only the LUT ops produce a non-identity table)
     lut = _identity_lut(B)
@@ -277,7 +345,7 @@ def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     lut = jnp.where((op == 4)[:, None, None], _posterize_lut(B, mag), lut)
     lut = jnp.where((op == 5)[:, None, None], _solarize_lut(B, mag), lut)
     lut = jnp.where((op == 6)[:, None, None], _solarize_add_lut(B, mag), lut)
-    y = _apply_lut(lut, x_int)
+    y = jax.lax.optimization_barrier(_apply_lut(lut, x_int))
 
     # ---- stage 2: enhance blend as scalars: out = a*x + b*round(luma) + c
     # (Color 7: degenerate = grayscale; Contrast 8: degenerate = scalar
@@ -285,20 +353,20 @@ def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     f = _enhance_factor(mag)
     a = jnp.where((op == 7) | (op == 8) | (op == 9), f, 1.0)
     b = jnp.where(op == 7, 1.0 - f, 0.0)
-    luma = jnp.floor(jnp.einsum("bhwc,c->bhw", y, LUMA) + 0.5)
+    luma = jnp.floor(jnp.einsum("bchw,c->bhw", y, LUMA) + 0.5)
     mean_l = jnp.floor(jnp.mean(luma, axis=(1, 2)) + 0.5)
     c_off = jnp.where(op == 8, (1.0 - f) * mean_l, 0.0)
     y = (
         a[:, None, None, None] * y
-        + b[:, None, None, None] * luma[..., None]
+        + b[:, None, None, None] * luma[:, None, :, :]
         + c_off[:, None, None, None]
     )
 
     # ---- stage 3: sharpness blend (op 10)
     sharp_f = jnp.where(op == 10, f, 1.0)
-    need_smooth = jnp.any(op == 10)
     smoothed = _smooth(y)
     y = smoothed + sharp_f[:, None, None, None] * (y - smoothed)
+    y = jax.lax.optimization_barrier(y)
 
     # ---- stage 4: affine warp (ops 3, 11-14)
     m = _affine_matrix(op, mag, sign, H)
@@ -318,12 +386,13 @@ def rand_augment(
     fill: Sequence[float] = (124.0, 116.0, 104.0),
 ) -> jax.Array:
     """rand-n{num_layers}-m{magnitude}-mstd{magnitude_std} on a uint8/float
-    batch; returns float32 in [0,255].  PIL quantizes to uint8 between ops;
-    we round between layers to match."""
-    x = images.astype(jnp.float32)
+    NHWC batch; returns float32 NHWC in [0,255].  PIL quantizes to uint8
+    between ops; we round between layers to match.  Internals run NCHW
+    (see module docstring)."""
+    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
     for i in range(num_layers):
         x = randaugment_layer(
             x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
         )
         x = jnp.round(x)
-    return x
+    return jnp.transpose(x, (0, 2, 3, 1))

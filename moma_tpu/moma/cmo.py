@@ -29,6 +29,10 @@ class BatchTokenAttention(nn.Module):
 
     Parity: criterion_moco_att.py:141-167 (num_heads=4, qkv_bias=True for
     CMO; scale = head_dim^-0.5; no residual, no norm).
+    `return_attn=True` also returns the (H, N, N) attention map — the
+    Attention_viz variant (criterion_moco_att.py:171-197).
+    For token counts beyond ~2k (MoCoAtt 'all' mode over 2B+K), route
+    through ops/flash_attention.batch_token_attention_big instead.
     """
 
     dim: int
@@ -37,7 +41,7 @@ class BatchTokenAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_attn: bool = False):
         N, C = x.shape
         H = self.num_heads
         hd = C // H
@@ -47,7 +51,10 @@ class BatchTokenAttention(nn.Module):
         attn = (q @ jnp.swapaxes(k, -2, -1)) * (hd**-0.5)  # (H, N, N)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(attn.dtype)
         y = (attn @ v).transpose(1, 0, 2).reshape(N, C)
-        return TorchLinear(C, dtype=self.dtype)(y)
+        out = TorchLinear(C, dtype=self.dtype)(y)
+        if return_attn:
+            return out, attn
+        return out
 
 
 class BatchTokenAttention2(nn.Module):

@@ -270,6 +270,56 @@ def make_classifier_apply(teacher_params) -> Callable:
     return apply
 
 
+def make_simkd_eval_step(
+    student, distiller: "Distiller", teacher_params, teacher_batch_stats,
+    n_cls: int, normalize_fn: Optional[Callable],
+):
+    """Eval step for SimKD: student features -> SimKD bottleneck (eval)
+    -> pooled -> teacher classifier (loops_moma.py:481-487).
+
+    Signature matches make_eval_step but expects the FULL distill params
+    {'student','aux'} / batch_stats trees.
+    """
+    cls_t = make_classifier_apply(teacher_params)
+    simkd_mod = distiller.modules["simkd"]
+    t_feat_shape = distiller.feat_t_shapes[-2]
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        images, labels, mask = batch["image"], batch["label"], batch["mask"]
+        if normalize_fn is not None:
+            images = normalize_fn(images)
+        feat_s, _ = student.apply(
+            {
+                "params": params["student"],
+                "batch_stats": batch_stats["student"],
+            },
+            images,
+            train=False,
+        )
+        dummy_t = jnp.zeros((images.shape[0], *t_feat_shape[1:]), jnp.float32)
+        _, _, pooled = simkd_mod.apply(
+            {
+                "params": params["aux"]["simkd"],
+                "batch_stats": batch_stats["aux"]["simkd"],
+            },
+            feat_s[-2],
+            dummy_t,
+            train=False,
+        )
+        logits = cls_t(pooled)
+        from moma_tpu.core.metrics import confusion_matrix
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        m = mask.astype(jnp.float32)
+        return jnp.sum(nll * m), jnp.sum(m), confusion_matrix(
+            logits, labels, n_cls, mask=mask
+        )
+
+    return step
+
+
 def make_distill_train_step(
     distiller: Distiller,
     augment_fn: Optional[Callable],

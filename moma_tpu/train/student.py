@@ -127,7 +127,19 @@ def run_student(cfg: Config, synthetic: bool = False):
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate)
-    eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
+    simkd_eval = cfg.distill.distill == "simkd"
+    if simkd_eval:
+        # SimKD has no trained student classifier (cls weight 0): eval
+        # routes pooled transferred features through the REUSED teacher
+        # classifier (reference validate_distill, loops_moma.py:481-487)
+        from moma_tpu.train.distill import make_simkd_eval_step
+
+        eval_step = make_simkd_eval_step(
+            student, distiller, vars_t["params"], vars_t["batch_stats"],
+            n_cls, eval_norm,
+        )
+    else:
+        eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
 
     # wrap the loader so CRD contrast indices are drawn per batch
     class _SampledLoader:
@@ -158,19 +170,15 @@ def run_student(cfg: Config, synthetic: bool = False):
             state, loader, step_fn, mesh, epoch, train_rng,
             print_freq=cfg.run.print_freq, log_fn=stats.scalar,
         )
-        val = evaluate(
-            state.params["student"], state.batch_stats["student"],
-            val_loader, eval_step, mesh, n_cls,
-        )
+        eval_params = state.params if simkd_eval else state.params["student"]
+        eval_bs = state.batch_stats if simkd_eval else state.batch_stats["student"]
+        val = evaluate(eval_params, eval_bs, val_loader, eval_step, mesh, n_cls)
         row = {
             "train_loss": tr["loss"], "train_acc": tr["acc1"], "ips": tr["ips"],
             "val_loss": val["loss"], "val_acc": val["acc"], "val_f1": val["f1"],
         }
         if not cfg.run.skip_test:
-            test = evaluate(
-                state.params["student"], state.batch_stats["student"],
-                test_loader, eval_step, mesh, n_cls,
-            )
+            test = evaluate(eval_params, eval_bs, test_loader, eval_step, mesh, n_cls)
             row.update(test_acc=test["acc"], test_f1=test["f1"])
         stats.update_epoch(epoch, row)
         print(

@@ -86,6 +86,39 @@ def test_manifest_prostate_hv(tmp_path):
     assert test[0][1] == 2
 
 
+def test_stratified_kfold():
+    from moma_tpu.data.manifests import stratified_kfold
+
+    pairs = [(f"f{i}.jpg", i % 3) for i in range(30)]
+    seen_valid = set()
+    for fold in range(5):
+        train, valid = stratified_kfold(pairs, fold, n_folds=5)
+        assert len(train) + len(valid) == 30
+        assert len(valid) == 6
+        # stratification: each class appears in valid
+        assert {l for _, l in valid} == {0, 1, 2}
+        seen_valid |= {p for p, _ in valid}
+        assert not ({p for p, _ in train} & {p for p, _ in valid})
+    assert len(seen_valid) == 30  # folds partition the data
+
+
+def test_two_view_augment_distinct_views():
+    import jax
+
+    from moma_tpu.core.config import Config
+    from moma_tpu.data.histo_augment import make_two_view_augment
+
+    cfg = Config()
+    cfg.data.image_size = 32
+    cfg.data.aug_train = "RA"
+    cfg.data.image_resize = False
+    aug = make_two_view_augment(cfg)
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    v1, v2 = aug(imgs, jax.random.PRNGKey(0))
+    assert v1.shape == v2.shape == (4, 32, 32, 3)
+    assert float(abs(np.asarray(v1) - np.asarray(v2)).sum()) > 0
+
+
 def test_packed_cache_roundtrip(tmp_path):
     from PIL import Image
 

@@ -68,11 +68,17 @@ def test_solarize_add_lut(mag):
     np.testing.assert_array_equal(got, want)
 
 
+def _hist_nhwc(x):
+    """Test helper: histograms on an HWC uint8 image (internals are NCHW)."""
+    return RA._histograms(
+        jnp.transpose(jnp.asarray(x[None]).astype(jnp.int32), (0, 3, 1, 2))
+    )
+
+
 def test_autocontrast_lut():
     x = (_img(4).astype(np.int32) // 2 + 40).astype(np.uint8)  # compressed range
     want = np.asarray(ImageOps.autocontrast(Image.fromarray(x)))
-    hist = RA._histograms(jnp.asarray(x[None]).astype(jnp.int32))
-    lut = RA._autocontrast_lut(hist)
+    lut = RA._autocontrast_lut(_hist_nhwc(x))
     got = _apply_lut(lut, x.astype(np.int32))
     np.testing.assert_allclose(got, want, atol=1)  # PIL rounds via int LUT
 
@@ -80,10 +86,22 @@ def test_autocontrast_lut():
 def test_equalize_lut():
     x = _img(5)
     want = np.asarray(ImageOps.equalize(Image.fromarray(x)))
-    hist = RA._histograms(jnp.asarray(x[None]).astype(jnp.int32))
-    lut = RA._equalize_lut(hist)
+    lut = RA._equalize_lut(_hist_nhwc(x))
     got = _apply_lut(lut, x.astype(np.int32))
     np.testing.assert_array_equal(got, want)
+
+
+def test_apply_lut_matmul_matches_direct():
+    """The one-hot-contraction LUT application must equal direct indexing."""
+    rs = np.random.RandomState(11)
+    x = rs.randint(0, 256, (4, 3, 8, 8)).astype(np.int32)  # NCHW
+    lut = rs.rand(4, 3, 256).astype(np.float32) * 255
+    got = np.asarray(RA._apply_lut(jnp.asarray(lut), jnp.asarray(x)))
+    want = np.empty_like(got)
+    for b in range(4):
+        for c in range(3):
+            want[b, c] = lut[b, c][x[b, c]]
+    np.testing.assert_allclose(got, want, atol=1e-3)
 
 
 @pytest.mark.parametrize("factor", [0.1, 0.64, 1.9])
@@ -111,8 +129,24 @@ def test_color_matrix_matches_pil():
     np.testing.assert_allclose(got, want, atol=1)
 
 
+def _smooth_img(size=32):
+    """Smooth test image: noise parity is meaningless for the 3-pass shear
+    rotation (separable filtering responds differently to white noise than
+    one-shot bilinear; on natural/smooth content they agree)."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    r = np.stack(
+        [
+            127 + 80 * np.sin(xx / 6.0) * np.cos(yy / 9.0),
+            127 + 100 * np.cos((xx + yy) / 11.0),
+            127 + 60 * np.sin(yy / 5.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(r, 0, 255).astype(np.uint8)
+
+
 def test_rotate_affine_close_to_pil():
-    x = _img(8, size=32)
+    x = _smooth_img(32)
     deg = 17.0
     want = np.asarray(
         Image.fromarray(x).rotate(
@@ -124,10 +158,10 @@ def test_rotate_affine_close_to_pil():
                           jnp.asarray([True]), 32)
     got = np.asarray(
         RA._affine_sample(
-            jnp.asarray(x[None]).astype(jnp.float32), m,
-            jnp.asarray([128.0, 128.0, 128.0]),
+            jnp.transpose(jnp.asarray(x[None]).astype(jnp.float32), (0, 3, 1, 2)),
+            m, jnp.asarray([128.0, 128.0, 128.0]),
         )
-    )[0]
+    )[0].transpose(1, 2, 0)
     # interpolation/rounding differ at edges; interior must agree closely
     diff = np.abs(got[4:-4, 4:-4] - want[4:-4, 4:-4])
     assert np.percentile(diff, 95) <= 3.0, np.percentile(diff, 95)
@@ -147,10 +181,10 @@ def test_translate_affine_exact():
                           jnp.asarray([True]), 16)
     got = np.asarray(
         RA._affine_sample(
-            jnp.asarray(x[None]).astype(jnp.float32), m,
-            jnp.asarray([128.0, 128.0, 128.0]),
+            jnp.transpose(jnp.asarray(x[None]).astype(jnp.float32), (0, 3, 1, 2)),
+            m, jnp.asarray([128.0, 128.0, 128.0]),
         )
-    )[0]
+    )[0].transpose(1, 2, 0)
     np.testing.assert_allclose(got, want, atol=1)
 
 
