@@ -61,7 +61,7 @@ class PackedCache:
             self._build(pairs, size, bin_path, meta_path, workers)
         images = np.memmap(bin_path, dtype=np.uint8, mode="r",
                            shape=(n, size, size, 3))
-        return ArrayDataset(images, labels)
+        return ArrayDataset(images, labels, bin_path=bin_path)
 
     def _build(self, pairs, size, bin_path, meta_path, workers):
         from concurrent.futures import ThreadPoolExecutor

@@ -21,13 +21,20 @@ import numpy as np
 
 
 class ArrayDataset:
-    """(images uint8 NHWC, labels int64/int32) fully materialized in RAM."""
+    """(images uint8 NHWC, labels int64/int32) in RAM or memory-mapped.
 
-    def __init__(self, images: np.ndarray, labels: np.ndarray):
+    `bin_path` marks a packed on-disk dataset (moma_tpu/data/histo.py);
+    when set, train Loaders route batch assembly through the native C++
+    prefetcher (moma_tpu/data/native) instead of numpy fancy-indexing.
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 bin_path: Optional[str] = None):
         assert images.shape[0] == labels.shape[0]
         assert images.ndim == 4, "NHWC expected"
         self.images = images
         self.labels = labels.astype(np.int32)
+        self.bin_path = bin_path
 
     def __len__(self):
         return self.images.shape[0]
@@ -83,6 +90,21 @@ class Loader:
     def n_samples(self):
         return len(self.ds)
 
+    def _native_batcher(self):
+        if getattr(self.ds, "bin_path", None) is None:
+            return None
+        if getattr(self, "_batcher", None) is None:
+            try:
+                from moma_tpu.data.native import NativeBatcher
+
+                self._batcher = NativeBatcher(
+                    self.ds.bin_path, len(self.ds), self.ds.images.shape[1:]
+                )
+                self._batcher.start(self.batch_size, depth=4, threads=8)
+            except Exception:
+                self._batcher = False
+        return self._batcher or None
+
     def __iter__(self) -> Iterator[dict]:
         n = len(self.ds)
         bs = self.batch_size
@@ -90,10 +112,23 @@ class Loader:
             order = np.random.RandomState(
                 (self.seed * 100003 + self.epoch) % (2**31)
             ).permutation(n)
-            for i in range(n // bs):
+            n_batches = n // bs
+            batcher = self._native_batcher()
+            depth = 4
+            if batcher is not None:
+                for i in range(min(depth, n_batches)):
+                    batcher.submit(order[i * bs : (i + 1) * bs])
+            for i in range(n_batches):
                 idx = order[i * bs : (i + 1) * bs]
+                if batcher is not None:
+                    images = batcher.get()
+                    nxt = i + depth
+                    if nxt < n_batches:
+                        batcher.submit(order[nxt * bs : (nxt + 1) * bs])
+                else:
+                    images = self.ds.images[idx]
                 batch = {
-                    "image": self.ds.images[idx],
+                    "image": images,
                     "label": self.ds.labels[idx],
                     "index": idx.astype(np.int32),
                 }

@@ -141,3 +141,31 @@ def test_packed_cache_roundtrip(tmp_path):
     # reopening hits the cache (no rebuild): same bytes
     ds2 = cache.build_or_open(pairs, size=16)
     np.testing.assert_array_equal(np.asarray(ds.images), np.asarray(ds2.images))
+
+
+def test_loader_native_prefetch_matches_numpy(tmp_path):
+    """Train Loader over a packed (bin_path) dataset must yield identical
+    batches whether the native C++ prefetcher or numpy assembles them."""
+    from moma_tpu.data.native import get_lib
+
+    if get_lib() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no g++")
+    rs = np.random.RandomState(0)
+    n, s = 40, 8
+    data = rs.randint(0, 256, (n, s, s, 3), dtype=np.uint8)
+    bin_path = str(tmp_path / "pack.bin")
+    with open(bin_path, "wb") as f:
+        f.write(data.tobytes())
+    images = np.memmap(bin_path, dtype=np.uint8, mode="r", shape=(n, s, s, 3))
+    labels = np.arange(n) % 4
+    ds_native = ArrayDataset(images, labels, bin_path=bin_path)
+    ds_plain = ArrayDataset(data, labels)
+    l1 = Loader(ds_native, batch_size=8, train=True, seed=3)
+    l2 = Loader(ds_plain, batch_size=8, train=True, seed=3)
+    l1.set_epoch(1)
+    l2.set_epoch(1)
+    for b1, b2 in zip(l1, l2):
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["label"], b2["label"])
