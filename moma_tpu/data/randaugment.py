@@ -384,15 +384,30 @@ def rand_augment(
     magnitude: float = 10.0,
     magnitude_std: float = 0.5,
     fill: Sequence[float] = (124.0, 116.0, 104.0),
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """rand-n{num_layers}-m{magnitude}-mstd{magnitude_std} on a uint8/float
     NHWC batch; returns float32 NHWC in [0,255].  PIL quantizes to uint8
     between ops; we round between layers to match.  Internals run NCHW
-    (see module docstring)."""
+    (see module docstring).
+
+    use_pallas: route each layer through the fused VMEM-resident Pallas
+    kernel (ops/pallas_randaugment.py) — default on TPU.
+    """
     x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
-    for i in range(num_layers):
-        x = randaugment_layer(
-            x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
-        )
-        x = jnp.round(x)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform != "cpu"
+    if use_pallas:
+        from moma_tpu.ops.pallas_randaugment import ra_layer_pallas
+
+        for i in range(num_layers):
+            x = ra_layer_pallas(
+                x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
+            )
+    else:
+        for i in range(num_layers):
+            x = randaugment_layer(
+                x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
+            )
+            x = jnp.round(x)
     return jnp.transpose(x, (0, 2, 3, 1))

@@ -121,12 +121,14 @@ class MBConvBlock(nn.Module):
                         kernel_init=conv_kernel_init, dtype=self.dtype)(x)
             x = _BN(self.dtype)(x, train)
             x = nn.silu(x)
-        # depthwise, TF SAME padding
-        x = nn.Conv(
-            expanded, (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride), padding="SAME",
-            feature_group_count=expanded, use_bias=False,
-            kernel_init=conv_kernel_init, dtype=self.dtype,
+        # depthwise, TF SAME padding — shift-add lowering (XLA's grouped
+        # conv path is the classic EfficientNet-on-TPU bottleneck; see
+        # ops/depthwise.py). Param name/shape match nn.Conv for ckpt interop.
+        from moma_tpu.ops.depthwise import DepthwiseConv
+
+        x = DepthwiseConv(
+            expanded, self.kernel_size, self.stride, dtype=self.dtype,
+            name=f"Conv_dw",
         )(x)
         x = _BN(self.dtype)(x, train)
         x = nn.silu(x)

@@ -1,0 +1,40 @@
+"""Pallas RA layer (interpret mode on CPU) vs the XLA staged layer —
+identical rng => near-identical output (the kernel fuses the same math)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moma_tpu.data import randaugment as RA
+from moma_tpu.ops.pallas_randaugment import ra_layer_pallas
+
+FILL = (124.0, 116.0, 104.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_layer_matches_xla_layer(seed):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(
+        rs.randint(0, 256, (8, 3, 32, 32)).astype(np.float32)
+    )
+    rng = jax.random.PRNGKey(seed)
+    want = RA.randaugment_layer(x, rng, 10.0, 0.5, FILL)
+    got = ra_layer_pallas(x, rng, 10.0, 0.5, FILL, interpret=True)
+    # the kernel rounds at the end (inter-layer PIL quantization);
+    # round the XLA reference the same way before comparing
+    np.testing.assert_allclose(
+        np.asarray(jnp.round(jnp.clip(want, 0, 255))), np.asarray(got),
+        atol=1.0,
+    )
+
+
+def test_pallas_layer_prob_gate_identity():
+    """With prob=0 every image must come through untouched (modulo the
+    final rounding)."""
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randint(0, 256, (4, 3, 16, 16)).astype(np.float32))
+    got = ra_layer_pallas(x, jax.random.PRNGKey(0), 10.0, 0.5, FILL,
+                          prob=0.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=0)
