@@ -121,14 +121,15 @@ class MBConvBlock(nn.Module):
                         kernel_init=conv_kernel_init, dtype=self.dtype)(x)
             x = _BN(self.dtype)(x, train)
             x = nn.silu(x)
-        # depthwise, TF SAME padding — shift-add lowering (XLA's grouped
-        # conv path is the classic EfficientNet-on-TPU bottleneck; see
-        # ops/depthwise.py). Param name/shape match nn.Conv for ckpt interop.
-        from moma_tpu.ops.depthwise import DepthwiseConv
-
-        x = DepthwiseConv(
-            expanded, self.kernel_size, self.stride, dtype=self.dtype,
-            name=f"Conv_dw",
+        # depthwise, TF SAME padding.  Measured on v5e: XLA's native
+        # grouped-conv lowering beats a shift-add formulation 2.6x here
+        # (the shift-add backward turns into strided scatter-adds); see
+        # ops/depthwise.py for the alternative and BASELINE.md for numbers.
+        x = nn.Conv(
+            expanded, (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride), padding="SAME",
+            feature_group_count=expanded, use_bias=False,
+            kernel_init=conv_kernel_init, dtype=self.dtype,
         )(x)
         x = _BN(self.dtype)(x, train)
         x = nn.silu(x)
