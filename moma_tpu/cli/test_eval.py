@@ -33,8 +33,11 @@ from moma_tpu.train.steps import make_eval_step
 
 def main(argv=None):
     p = argparse.ArgumentParser("moma_tpu test_eval")
-    p.add_argument("--runs", type=str, required=True,
+    p.add_argument("--runs", type=str, default=None,
                    help="glob of run dirs containing ckpt/{best_acc,...}")
+    p.add_argument("--csv", type=str, default=None,
+                   help="CSV with a 'name' column of run dirs (reference "
+                        "test.py reads its model list from CSV, :187-220)")
     p.add_argument("--ckpt_tag", type=str, default="best_acc",
                    choices=["best_acc", "best_f1", "latest"])
     p.add_argument("--model", type=str, required=True)
@@ -71,7 +74,18 @@ def main(argv=None):
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=norm)
 
     results = {}
-    run_dirs = sorted(glob.glob(a.runs))
+    if a.csv:
+        import csv as _csv
+
+        with open(a.csv) as f:
+            rows = list(_csv.DictReader(f))
+        key = "name" if rows and "name" in rows[0] else list(rows[0].keys())[0]
+        run_dirs = [r[key] for r in rows]
+    elif a.runs:
+        run_dirs = sorted(glob.glob(a.runs))
+    else:
+        print("need --runs or --csv", file=sys.stderr)
+        return {}
     if not run_dirs:
         print(f"no runs match {a.runs}", file=sys.stderr)
         return {}

@@ -117,6 +117,24 @@ def class_histogram(pairs: Pairs) -> Counter:
     return Counter(lbl for _, lbl in pairs)
 
 
+def viz_subset(pairs: Pairs, per_class: int = 8, seed: int = 0) -> Pairs:
+    """Per-class visualization subset — the get_histo_dataloader_viz
+    capability (dataset/histo_dataset.py:784-842): a few samples of each
+    class for attention-map/feature visualization runs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    by_class = {}
+    for p, l in pairs:
+        by_class.setdefault(l, []).append((p, l))
+    out = []
+    for l in sorted(by_class):
+        items = by_class[l]
+        idx = rng.permutation(len(items))[:per_class]
+        out.extend(items[i] for i in idx)
+    return out
+
+
 def stratified_kfold(pairs: Pairs, fold_idx: int, n_folds: int = 5,
                      seed: int = 5) -> Tuple[Pairs, Pairs]:
     """(train, valid) for fold `fold_idx` with per-class round-robin
