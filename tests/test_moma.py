@@ -158,6 +158,50 @@ def test_moma_st_variant(mesh8, mem):
     assert int(new_state.queue.ptr) == B
 
 
+@pytest.mark.parametrize("attn", ["all", "qk", "dual", "dual2", "self_qk"])
+def test_moma_mocoatt_modes(mesh8, attn):
+    """MoCoAtt applies attention INSIDE the queue step (mem_moco.py:110-161)
+    — unreachable from the reference CLI, first-class here."""
+    cfg, state, step = _setup(mesh8, mem="MoCoAtt", attn=attn)
+    new_state, metrics = step(state, _batch(mesh8), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss_kd"])), attn
+    assert int(new_state.queue.ptr) == B
+
+
+def test_moma_state_checkpoint_roundtrip(mesh8, tmp_path):
+    """Full-state save/restore incl. queue memory + pointer + EMA teacher
+    — the resume gap the reference leaves open (SURVEY §5)."""
+    from moma_tpu.core.checkpoint import CheckpointManager
+
+    cfg, state, step = _setup(mesh8)
+    state, _ = step(state, _batch(mesh8), jax.random.PRNGKey(1))
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    save = {
+        "params": state.params, "batch_stats": state.batch_stats,
+        "teacher_params": state.teacher_params,
+        "teacher_batch_stats": state.teacher_batch_stats,
+        "queue": state.queue, "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckpt.save("latest", save, {"epoch": 1})
+    restored = ckpt.restore("latest", save)
+    assert int(restored["step"]) == 1
+    assert int(restored["queue"].ptr) == int(state.queue.ptr)
+    np.testing.assert_array_equal(
+        np.asarray(restored["queue"].memory["memory"]),
+        np.asarray(state.queue.memory["memory"]),
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored["teacher_params"]),
+        jax.tree_util.tree_leaves(state.teacher_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state steps forward without error
+    state2 = state.replace(**restored)
+    state3, m = step(state2, _batch(mesh8, seed=5), jax.random.PRNGKey(9))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_moma_no_shuffle_bn_matches_with_global_bn(mesh8):
     """With jit's global-batch BN, shuffle-BN must be loss-neutral."""
     cfg1, state1, _ = _setup(mesh8)
