@@ -26,6 +26,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (the mp.spawn/NCCL-rendezvous replacement,
+    reference base_trainer.py:39-61).  On TPU pods jax.distributed
+    auto-discovers everything; args exist for manual DCN setups.  No-op
+    when already initialized or single-process."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def create_mesh(
     devices: Sequence[jax.Device] | None = None,
     model_parallel: int = 1,

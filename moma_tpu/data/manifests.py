@@ -100,7 +100,32 @@ def prepare_prostate_ubc_test(root: str) -> Pairs:
     return out
 
 
+def prepare_imagefolder(root: str, split_dirs=("train", "val")) -> Tuple[Pairs, Pairs, Pairs]:
+    """torchvision ImageFolder layout (class-name subdirectories) — the
+    dataset/imagenet.py capability: classes sorted alphabetically map to
+    0..C-1; returns (train, val, val)."""
+
+    def load(d):
+        classes = sorted(
+            e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e))
+        )
+        idx = {c: i for i, c in enumerate(classes)}
+        out = []
+        for c in classes:
+            for f in sorted(glob.glob(os.path.join(d, c, "*"))):
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".tif", ".bmp")):
+                    out.append((f, idx[c]))
+        return out
+
+    train = load(os.path.join(root, split_dirs[0]))
+    val_dir = os.path.join(root, split_dirs[1])
+    val = load(val_dir) if os.path.isdir(val_dir) else []
+    return train, val, val
+
+
 PREPARERS = {
+    "imagenet": prepare_imagefolder,
+    "imagefolder": prepare_imagefolder,
     "prostate_hv": prepare_prostate_hv,
     "panda_512": prepare_panda_512,
     "kather19": lambda root: prepare_kather19(root, nonorm=False),

@@ -119,6 +119,22 @@ def test_two_view_augment_distinct_views():
     assert float(abs(np.asarray(v1) - np.asarray(v2)).sum()) > 0
 
 
+def test_imagefolder_manifest(tmp_path):
+    from moma_tpu.data.manifests import prepare_imagefolder
+
+    for split in ("train", "val"):
+        for cls in ("cat", "dog"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(3 if split == "train" else 1):
+                (d / f"img_{i}.jpg").write_bytes(b"x")
+    train, val, test = prepare_imagefolder(str(tmp_path))
+    assert len(train) == 6 and len(val) == 2
+    assert {l for _, l in train} == {0, 1}
+    # alphabetical class mapping: cat=0, dog=1
+    assert all(l == 0 for p, l in train if "/cat/" in p)
+
+
 def test_packed_cache_roundtrip(tmp_path):
     from PIL import Image
 

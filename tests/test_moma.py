@@ -168,6 +168,19 @@ def test_moma_mocoatt_modes(mesh8, attn):
     assert int(new_state.queue.ptr) == B
 
 
+def test_moma_losses_descend(mesh8):
+    """Training dynamics sanity: 15 steps on a fixed batch must drive the
+    total loss down (CE memorization + contrast alignment)."""
+    cfg, state, step = _setup(mesh8)
+    b = _batch(mesh8)
+    losses = []
+    for i in range(15):
+        state, m = step(state, b, jax.random.PRNGKey(100 + i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
+
+
 def test_moma_state_checkpoint_roundtrip(mesh8, tmp_path):
     """Full-state save/restore incl. queue memory + pointer + EMA teacher
     — the resume gap the reference leaves open (SURVEY §5)."""
