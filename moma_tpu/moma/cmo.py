@@ -173,11 +173,38 @@ class CMOHeads:
             params[name] = v["params"]
         return params, batch_stats
 
-    def attn_fns(self, params: dict) -> Dict[str, Callable]:
-        return {
-            name: (lambda x, m=mod, p=params[name]: m.apply({"params": p}, x))
-            for name, mod in self.attn_modules.items()
-        }
+    def attn_fns(self, params: dict, big_n_threshold: int = 2048) -> Dict[str, Callable]:
+        """Callables closing over CMO attention params.
+
+        Inputs longer than `big_n_threshold` tokens (MoCoAtt 'all'/'dual'
+        attend over 2B+K — dense scores would be O((2B+K)^2) ~ GBs) route
+        through the streaming flash-attention op (ops/flash_attention.py).
+        """
+
+        def make(name, mod):
+            p = params[name]
+
+            def fn(x):
+                if x.shape[0] > big_n_threshold and not isinstance(
+                    mod, BatchTokenAttention2
+                ):
+                    from moma_tpu.ops.flash_attention import (
+                        batch_token_attention_big,
+                    )
+
+                    return batch_token_attention_big(
+                        x,
+                        p["TorchLinear_0"]["kernel"],
+                        p["TorchLinear_0"].get("bias"),
+                        p["TorchLinear_1"]["kernel"],
+                        p["TorchLinear_1"]["bias"],
+                        num_heads=mod.num_heads,
+                    )
+                return mod.apply({"params": p}, x)
+
+            return fn
+
+        return {name: make(name, mod) for name, mod in self.attn_modules.items()}
 
     def embed(self, which: str, params: dict, batch_stats: dict, x,
               train: bool = True):
