@@ -138,13 +138,17 @@ class CMOHeads:
     """
 
     def __init__(self, head: str, attn: str, feat_dim: int, s_dim: int,
-                 t_dim: int, dtype=None):
+                 t_dim: int, dtype=None, include_ema: bool = False):
         self.head = head
         self.attn = attn if attn in ATTN_SETS else "self"
         self.feat_dim = feat_dim
         self.dtype = dtype
         self.embed_s = ProjectionHead(head, feat_dim, dtype=dtype)
         self.embed_t = ProjectionHead(head, feat_dim, dtype=dtype)
+        # cross-arch (CMO_EmaTec) mode: a third head for the EMA student
+        self.embed_ema = (
+            ProjectionHead(head, feat_dim, dtype=dtype) if include_ema else None
+        )
         att_cls = (
             BatchTokenAttention2 if self.attn in ATTN2_MODES else BatchTokenAttention
         )
@@ -156,20 +160,20 @@ class CMOHeads:
         self._t_dim = t_dim
 
     def init(self, rng: jax.Array):
-        """Returns (params, batch_stats) dicts: embed_s, embed_t, atts_*."""
+        """Returns (params, batch_stats): embed_s, embed_t[, embed_ema], atts_*."""
         params, batch_stats = {}, {}
-        ks = jax.random.split(rng, 2 + len(self.attn_modules))
-        for name, mod, dim in (
-            ("embed_s", self.embed_s, self._s_dim),
-            ("embed_t", self.embed_t, self._t_dim),
-        ):
-            v = mod.init(ks[0 if name == "embed_s" else 1],
-                         jnp.zeros((2, dim)), train=False)
+        embeds = [("embed_s", self.embed_s, self._s_dim),
+                  ("embed_t", self.embed_t, self._t_dim)]
+        if self.embed_ema is not None:
+            embeds.append(("embed_ema", self.embed_ema, self._s_dim))
+        ks = jax.random.split(rng, len(embeds) + len(self.attn_modules))
+        for i, (name, mod, dim) in enumerate(embeds):
+            v = mod.init(ks[i], jnp.zeros((2, dim)), train=False)
             params[name] = v.get("params", {})
             if "batch_stats" in v:
                 batch_stats[name] = v["batch_stats"]
         for i, (name, mod) in enumerate(self.attn_modules.items()):
-            v = mod.init(ks[2 + i], jnp.zeros((2, self.feat_dim)))
+            v = mod.init(ks[len(embeds) + i], jnp.zeros((2, self.feat_dim)))
             params[name] = v["params"]
         return params, batch_stats
 
@@ -208,8 +212,12 @@ class CMOHeads:
 
     def embed(self, which: str, params: dict, batch_stats: dict, x,
               train: bool = True):
-        """Apply embed_s/embed_t; returns (out, new_batch_stats_or_None)."""
-        mod = self.embed_s if which == "embed_s" else self.embed_t
+        """Apply embed_s/embed_t/embed_ema; returns (out, new_bs_or_None)."""
+        mod = {
+            "embed_s": self.embed_s,
+            "embed_t": self.embed_t,
+            "embed_ema": self.embed_ema,
+        }[which]
         variables = {"params": params[which]}
         if which in batch_stats:
             variables["batch_stats"] = batch_stats[which]

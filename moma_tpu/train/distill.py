@@ -39,7 +39,8 @@ def probe_shapes(model, image_size: int, batch_size: int = 2):
     )
     out = jax.eval_shape(
         lambda v: model.apply(
-            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            {"params": v["params"],
+             "batch_stats": v.get("batch_stats", {})},
             x, train=False,
         ),
         variables,
@@ -189,7 +190,7 @@ class Distiller:
                 mutable = ["batch_stats"]
             if mutable:
                 out, mut = mod.apply(variables, *args, train=train, mutable=mutable)
-                new_bs[name] = mut["batch_stats"]
+                new_bs[name] = mut.get("batch_stats", {})
                 return out
             return mod.apply(variables, *args)
 
@@ -376,7 +377,7 @@ def make_distill_train_step(
                 cls_t_apply,
             )
             total = c * loss_cls + dv * loss_div + b * loss_kd
-            new_bs = {"student": mut["batch_stats"], "aux": new_aux_bs}
+            new_bs = {"student": mut.get("batch_stats", {}), "aux": new_aux_bs}
             out_logits = metric_logits if metric_logits is not None else logit_s
             return total, (loss_cls, loss_div, loss_kd, out_logits, new_bs, new_extra)
 

@@ -75,7 +75,17 @@ def make_moma_train_step(
     heads: CMOHeads,
     augment_fn: Optional[Callable],
     donate: bool = True,
+    cross_arch: bool = False,
 ):
+    """cross_arch=False: the paper's mode — the pretrained teacher IS the
+    momentum encoder (EMA'd from the student; requires identical archs).
+
+    cross_arch=True: CMO_EmaTec mode (criterion_moco_att.py:344-419) for
+    mismatched architectures (e.g. ViT teacher, CNN student): the momentum
+    encoder is an EMA COPY of the student (state.ema_params, key head
+    'embed_ema'); the FIXED teacher contributes KL logits and — for the
+    dual-bank MoCoST/SSTT memories — its own keys through 'embed_t'.
+    """
     c, dv, b = cfg.distill.cls, cfg.distill.div, cfg.distill.beta
     kd_T = cfg.distill.kd_T
     alpha = cfg.moma.alpha
@@ -92,20 +102,28 @@ def make_moma_train_step(
         labels = batch["label"]
 
         # ---- EMA (pre-step student params; reference order loops:310)
-        new_teacher_params = ema_update(
-            state.teacher_params, state.params["student"], alpha
-        )
         cmo_params = dict(state.params["cmo"])
+        key_head = "embed_ema" if cross_arch else "embed_t"
+        if cross_arch:
+            momentum_src_params = state.ema_params
+            new_momentum_params = ema_update(
+                state.ema_params, state.params["student"], alpha
+            )
+        else:
+            new_momentum_params = ema_update(
+                state.teacher_params, state.params["student"], alpha
+            )
         # reference EMAs embed_t only for the mlp head (loops:311-315);
         # for 'linear'/'None' both embeds stay out of the optimizer there
         if cfg.moma.head in ("mlp", "mlp_byol"):
-            cmo_params_embed_t = ema_update(
-                cmo_params["embed_t"], state.params["cmo"]["embed_s"], alpha
+            cmo_params_key_head = ema_update(
+                cmo_params[key_head], state.params["cmo"]["embed_s"], alpha
             )
         else:
-            cmo_params_embed_t = cmo_params["embed_t"]
+            cmo_params_key_head = cmo_params[key_head]
 
-        # ---- keys: shuffled global batch through post-EMA teacher, BN train
+        # ---- keys: shuffled global batch through the post-EMA momentum
+        # encoder with BN in train mode (loops:317)
         B = images.shape[0]
         if shuffle_bn:
             rng, k_perm = jax.random.split(rng)
@@ -114,29 +132,42 @@ def make_moma_train_step(
             key_images = images[perm]
         else:
             key_images = images
-        (feat_key, _), t_mut = state.teacher_apply_fn(
-            {
-                "params": new_teacher_params,
-                "batch_stats": state.teacher_batch_stats,
-            },
-            key_images,
-            train=True,  # BN train mode for the momentum encoder (loops:317)
-            mutable=["batch_stats"],
-        )
-        new_teacher_bs = t_mut["batch_stats"]
+        if cross_arch:
+            (feat_key, _), m_mut = state.apply_fn(
+                {
+                    "params": new_momentum_params,
+                    "batch_stats": state.ema_batch_stats,
+                },
+                key_images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_momentum_bs = m_mut.get("batch_stats", {})
+        else:
+            (feat_key, _), m_mut = state.teacher_apply_fn(
+                {
+                    "params": new_momentum_params,
+                    "batch_stats": state.teacher_batch_stats,
+                },
+                key_images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            new_momentum_bs = m_mut.get("batch_stats", {})
         k_emb, _ = heads.embed(
-            "embed_t",
-            {**cmo_params, "embed_t": cmo_params_embed_t},
+            key_head,
+            {**cmo_params, key_head: cmo_params_key_head},
             state.batch_stats["cmo"],
             feat_key[-1],
-            train=False,  # embed_t.eval() (loops:313)
+            train=False,  # momentum head in eval mode (loops:313)
         )
         if shuffle_bn:
             k_emb = k_emb[inv]
         k_emb = jax.lax.stop_gradient(k_emb)
         all_k = k_emb  # global batch == gathered keys (see module docstring)
 
-        # ---- teacher logits for KL: PRE-EMA params, eval mode (loops:269-272)
+        # ---- teacher logits for KL: eval mode; PRE-EMA params in same-arch
+        # mode (loops:269-272), the fixed teacher in cross-arch mode
         feat_t, logit_t = state.teacher_apply_fn(
             {
                 "params": state.teacher_params,
@@ -146,6 +177,15 @@ def make_moma_train_step(
             train=False,
         )
         logit_t = jax.lax.stop_gradient(logit_t)
+        kt_emb = None
+        if cross_arch and mem in ("MoCoST", "MoCoSSTT"):
+            # teacher-side keys for the dual bank (embed_t over the FIXED
+            # teacher's pooled features; gradient-free like all keys)
+            kt_emb, _ = heads.embed(
+                "embed_t", cmo_params, state.batch_stats["cmo"],
+                jax.lax.stop_gradient(feat_t[-1]), train=False,
+            )
+            kt_emb = jax.lax.stop_gradient(kt_emb)
 
         def loss_fn(params):
             (feat_s, logit_s), mut = state.apply_fn(
@@ -172,9 +212,10 @@ def make_moma_train_step(
                     attn, attn_fns,
                 )
             elif mem in ("MoCoST", "MoCoSSTT"):
-                # dual-bank variant: student-side keys are the student's own
-                # embeddings of the key view; teacher-side keys from embed_t
-                q_in, k_in, kt_in = q, k_local, k_local
+                # dual-bank variant: momentum-encoder keys fill memory_s;
+                # cross-arch mode adds the fixed teacher's keys to memory_t
+                q_in, k_in = q, k_local
+                kt_in = kt_emb if kt_emb is not None else k_local
                 if attn == "self" and attn_fns:
                     q_in = attn_fns["atts_q"](q_in)
                     k_in = attn_fns["atts_k"](k_in)
@@ -196,7 +237,7 @@ def make_moma_train_step(
             loss_kd = contrast_ce(logits)
             total = c * loss_cls + dv * loss_div + b * loss_kd
             new_bs = {
-                "student": mut["batch_stats"],
+                "student": mut.get("batch_stats", {}),
                 "cmo": (
                     {**state.batch_stats["cmo"], "embed_s": new_embed_s_bs}
                     if new_embed_s_bs is not None
@@ -211,21 +252,26 @@ def make_moma_train_step(
                 {"student": state.params["student"], "cmo": cmo_params}
             )
         )
-        # embed_t is EMA-tracked, never SGD-trained (train_student_moma:343)
-        grads["cmo"]["embed_t"] = jax.tree_util.tree_map(
-            jnp.zeros_like, grads["cmo"]["embed_t"]
+        # the key head is EMA-tracked, never SGD-trained (train_student_moma:343)
+        grads["cmo"][key_head] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["cmo"][key_head]
         )
-        new_state = state.apply_gradients(
-            grads,
-            batch_stats=new_bs,
-            teacher_params=new_teacher_params,
-            teacher_batch_stats=new_teacher_bs,
-            queue=new_queue,
-        )
-        # restore the EMA'd embed_t (SGD touched it with zero grads, but
+        replacements = dict(batch_stats=new_bs, queue=new_queue)
+        if cross_arch:
+            replacements.update(
+                ema_params=new_momentum_params,
+                ema_batch_stats=new_momentum_bs,
+            )
+        else:
+            replacements.update(
+                teacher_params=new_momentum_params,
+                teacher_batch_stats=new_momentum_bs,
+            )
+        new_state = state.apply_gradients(grads, **replacements)
+        # restore the EMA'd key head (SGD touched it with zero grads, but
         # weight decay inside the chain would still shrink it — overwrite)
         new_cmo = dict(new_state.params["cmo"])
-        new_cmo["embed_t"] = cmo_params_embed_t
+        new_cmo[key_head] = cmo_params_key_head
         new_state = new_state.replace(
             params={**new_state.params, "cmo": new_cmo}
         )
@@ -291,14 +337,17 @@ def run_moma(cfg: Config, synthetic: bool = False):
             else:
                 vars_t = load_pretrained_params(vars_t, pre, strict=mc.strict)
 
-    # EMA requires identical param trees (reference same-arch assumption)
+    # same-arch: teacher IS the momentum encoder (EMA'd from the student).
+    # cross-arch (e.g. ViT teacher -> CNN student, config #5): CMO_EmaTec
+    # mode — EMA copy of the student is the momentum encoder, the fixed
+    # teacher contributes KL (+ dual-bank keys for MoCoST/SSTT).
     s_struct = jax.tree_util.tree_structure(vars_s["params"])
     t_struct = jax.tree_util.tree_structure(vars_t["params"])
-    if s_struct != t_struct:
-        raise ValueError(
-            "MoMA EMA teacher requires student and teacher to share an "
-            "architecture (reference contract_trainer momentum_update); "
-            f"got {cfg.model_s.name} vs {cfg.model_t.name}"
+    cross_arch = s_struct != t_struct
+    if cross_arch:
+        print(
+            f"[moma] cross-arch ({cfg.model_t.name} teacher -> "
+            f"{cfg.model_s.name} student): EmaTec momentum-encoder mode"
         )
 
     feat_s_shapes, _ = probe_shapes(student, cfg.data.image_size, cfg.data.batch_size)
@@ -309,7 +358,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
 
     heads = CMOHeads(
         head=cfg.moma.head, attn=cfg.moma.attn, feat_dim=feat_dim,
-        s_dim=s_dim, t_dim=t_dim, dtype=dtype,
+        s_dim=s_dim, t_dim=t_dim, dtype=dtype, include_ema=cross_arch,
     )
     cmo_params, cmo_bs = heads.init(init_cmo)
     queue_names = (
@@ -331,11 +380,21 @@ def run_moma(cfg: Config, synthetic: bool = False):
     state = MomaState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats={"student": vars_s["batch_stats"], "cmo": cmo_bs},
+        batch_stats={"student": vars_s.get("batch_stats", {}), "cmo": cmo_bs},
         teacher_params=vars_t["params"],
-        teacher_batch_stats=vars_t["batch_stats"],
+        teacher_batch_stats=vars_t.get("batch_stats", {}),
         queue=queue,
         opt_state=tx.init(params),
+        # EmaTec: the momentum encoder starts as a DISTINCT copy of the
+        # student (aliased buffers break donation: 'donate same buffer twice')
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, vars_s["params"])
+            if cross_arch else None
+        ),
+        ema_batch_stats=(
+            jax.tree_util.tree_map(jnp.copy, vars_s.get("batch_stats", {}))
+            if cross_arch else None
+        ),
         tx=tx,
         apply_fn=student.apply,
         teacher_apply_fn=teacher.apply,
@@ -343,7 +402,9 @@ def run_moma(cfg: Config, synthetic: bool = False):
     state = jax.device_put(state, replicated_sharding(mesh))
 
     train_aug, eval_norm = augment_fns(cfg)
-    step_fn = make_moma_train_step(cfg, heads, train_aug, donate=cfg.run.donate)
+    step_fn = make_moma_train_step(
+        cfg, heads, train_aug, donate=cfg.run.donate, cross_arch=cross_arch
+    )
     eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
 
     best_acc, best_f1 = -1.0, -1.0

@@ -104,13 +104,16 @@ class MomaState(struct.PyTreeNode):
     step: jax.Array
     params: Any                      # {'student':…, 'aux': CMO heads/attn}
     batch_stats: Any
-    teacher_params: Any              # EMA-updated
+    teacher_params: Any              # EMA-updated (same-arch mode) or FIXED
+                                     # pretrained (cross-arch EmaTec mode)
     teacher_batch_stats: Any         # updated by key forward (BN train mode)
     queue: Any                       # moma_tpu.moma.queue.QueueState
     opt_state: optax.OptState
-    tx: optax.GradientTransformation = struct.field(pytree_node=False)
-    apply_fn: Callable = struct.field(pytree_node=False)
-    teacher_apply_fn: Callable = struct.field(pytree_node=False)
+    ema_params: Any = None           # EmaTec mode: EMA copy of the student
+    ema_batch_stats: Any = None      # (criterion_moco_att.py:344-419)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False, default=None)
+    apply_fn: Callable = struct.field(pytree_node=False, default=None)
+    teacher_apply_fn: Callable = struct.field(pytree_node=False, default=None)
 
     def apply_gradients(self, grads, **replacements):
         updates, new_opt_state = self.tx.update(

@@ -44,7 +44,7 @@ def make_vanilla_train_step(augment_fn: Callable | None = None, donate: bool = T
                 mutable=["batch_stats"],
             )
             loss = cross_entropy(logits, labels)
-            return loss, (logits, mutated["batch_stats"])
+            return loss, (logits, mutated.get("batch_stats", {}))
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -114,9 +114,9 @@ def run_student(cfg: Config, synthetic: bool = False):
     state = DistillState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats={"student": vars_s["batch_stats"], "aux": aux_bs},
+        batch_stats={"student": vars_s.get("batch_stats", {}), "aux": aux_bs},
         teacher_params=vars_t["params"],
-        teacher_batch_stats=vars_t["batch_stats"],
+        teacher_batch_stats=vars_t.get("batch_stats", {}),
         opt_state=tx.init(params),
         extra=extra,
         tx=tx,
@@ -135,7 +135,7 @@ def run_student(cfg: Config, synthetic: bool = False):
         from moma_tpu.train.distill import make_simkd_eval_step
 
         eval_step = make_simkd_eval_step(
-            student, distiller, vars_t["params"], vars_t["batch_stats"],
+            student, distiller, vars_t["params"], vars_t.get("batch_stats", {}),
             n_cls, eval_norm,
         )
     else:

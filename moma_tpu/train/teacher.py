@@ -114,7 +114,7 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        batch_stats=variables.get("batch_stats", {}),
         tx=tx,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
