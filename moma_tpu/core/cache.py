@@ -15,6 +15,12 @@ import os
 def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
+    # CPU runs (tests, the driver's dryrun) must NOT share the cache: the
+    # remote compile service produces CPU AOT entries with machine features
+    # the local host may lack (SIGILL risk on reload)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return ""
+
     path = path or os.environ.get(
         "MOMA_TPU_XLA_CACHE", os.path.expanduser("~/.cache/moma_tpu_xla")
     )
