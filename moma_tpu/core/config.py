@@ -124,6 +124,7 @@ class RunConfig:
     model_parallel: int = 1
     log_every_n_steps: int = 50
     donate: bool = True
+    profile_dir: str = ""  # capture a jax.profiler trace of epoch 1
 
 
 @dataclass
@@ -197,6 +198,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--sync_bn", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a TensorBoard/XProf device trace of epoch 1")
 
 
 def _cfg_from_common(a) -> Config:
@@ -230,6 +233,7 @@ def _cfg_from_common(a) -> Config:
         sync_bn=a.sync_bn,
         model_parallel=a.model_parallel,
         resume=a.resume,
+        profile_dir=a.profile_dir,
     )
     return cfg
 

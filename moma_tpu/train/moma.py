@@ -425,10 +425,19 @@ def run_moma(cfg: Config, synthetic: bool = False):
         print(f"[resume] from epoch {start_epoch}")
 
     for epoch in range(start_epoch, cfg.run.epochs + 1):
-        state, tr = train_one_epoch(
-            state, train_loader, step_fn, mesh, epoch, train_rng,
-            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-        )
+        if cfg.run.profile_dir and epoch == start_epoch:
+            from moma_tpu.core.profiling import trace
+
+            with trace(cfg.run.profile_dir):
+                state, tr = train_one_epoch(
+                    state, train_loader, step_fn, mesh, epoch, train_rng,
+                    print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                )
+        else:
+            state, tr = train_one_epoch(
+                state, train_loader, step_fn, mesh, epoch, train_rng,
+                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+            )
         val = evaluate(
             state.params["student"], state.batch_stats["student"],
             val_loader, eval_step, mesh, n_cls,

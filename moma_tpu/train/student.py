@@ -166,10 +166,19 @@ def run_student(cfg: Config, synthetic: bool = False):
     best_acc, best_f1 = -1.0, -1.0
     t_start = time.time()
     for epoch in range(1, cfg.run.epochs + 1):
-        state, tr = train_one_epoch(
-            state, loader, step_fn, mesh, epoch, train_rng,
-            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-        )
+        if cfg.run.profile_dir and epoch == start_epoch:
+            from moma_tpu.core.profiling import trace
+
+            with trace(cfg.run.profile_dir):
+                state, tr = train_one_epoch(
+                    state, loader, step_fn, mesh, epoch, train_rng,
+                    print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                )
+        else:
+            state, tr = train_one_epoch(
+                state, loader, step_fn, mesh, epoch, train_rng,
+                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+            )
         eval_params = state.params if simkd_eval else state.params["student"]
         eval_bs = state.batch_stats if simkd_eval else state.batch_stats["student"]
         val = evaluate(eval_params, eval_bs, val_loader, eval_step, mesh, n_cls)

@@ -136,10 +136,19 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     best_acc, best_f1 = -1.0, -1.0
     t_start = time.time()
     for epoch in range(start_epoch, cfg.run.epochs + 1):
-        state, tr = train_one_epoch(
-            state, train_loader, step_fn, mesh, epoch, train_rng,
-            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-        )
+        if cfg.run.profile_dir and epoch == start_epoch:
+            from moma_tpu.core.profiling import trace
+
+            with trace(cfg.run.profile_dir):
+                state, tr = train_one_epoch(
+                    state, train_loader, step_fn, mesh, epoch, train_rng,
+                    print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                )
+        else:
+            state, tr = train_one_epoch(
+                state, train_loader, step_fn, mesh, epoch, train_rng,
+                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+            )
         val = evaluate(state.params, state.batch_stats, val_loader, eval_step, mesh, n_cls)
         row = {
             "train_loss": tr["loss"], "train_acc": tr["acc1"],
