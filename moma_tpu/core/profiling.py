@@ -76,6 +76,45 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def summarize_trace(logdir: str, top: int = 25) -> list:
+    """Aggregate a captured trace into per-op-family device times.
+
+    Parses the Chrome-trace JSON that jax.profiler writes
+    (plugins/profile/*/ *.trace.json.gz) — no TensorBoard needed.  Returns
+    [(op_family, total_ms, count)] sorted by time, device lanes only.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    files = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    data = json.load(gzip.open(files[-1]))
+    lanes = {
+        e["pid"]: e["args"].get("name", "")
+        for e in data["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, n in lanes.items() if n.startswith("/device:")}
+    if not device_pids:  # CPU runs expose only a /host lane
+        device_pids = set(lanes)
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and e.get("dur") and e.get("pid") in device_pids:
+            family = re.sub(r"[.\(].*$", "", e.get("name", "?"))
+            if family.startswith("$"):  # python-module housekeeping lanes
+                continue
+            agg[family] += e["dur"]
+            cnt[family] += 1
+    return [
+        (name, dur / 1000.0, cnt[name]) for name, dur in agg.most_common(top)
+    ]
+
+
 def memory_stats() -> Dict[str, Dict[str, float]]:
     out = {}
     for d in jax.devices():
