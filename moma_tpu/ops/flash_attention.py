@@ -14,8 +14,6 @@ same memory profile, used on CPU (tests) and as a safety net.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -23,7 +23,6 @@ Scalar layout per image (f32[16], SMEM):
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Sequence
 

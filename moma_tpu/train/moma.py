@@ -105,7 +105,6 @@ def make_moma_train_step(
         cmo_params = dict(state.params["cmo"])
         key_head = "embed_ema" if cross_arch else "embed_t"
         if cross_arch:
-            momentum_src_params = state.ema_params
             new_momentum_params = ema_update(
                 state.ema_params, state.params["student"], alpha
             )
