@@ -107,6 +107,10 @@ class MomaConfig:
     attn: str = "self"  # self|self_mix|all|qk|dual|dual2|self_qk|self_qkv2|selfv2|none
     mode: str = "exact"  # CRD positive mode: exact | relax
     shuffle_bn: bool = True
+    # opt-in deviation: reuse the momentum key forward's logits for the
+    # KL term instead of a second teacher forward (~25% faster steps;
+    # KL then sees post-EMA params + train-mode BN)
+    fast_teacher: bool = False
 
 
 @dataclass
@@ -286,6 +290,9 @@ def parse_student_args(argv=None) -> Config:
     )
     p.add_argument("--attn", type=str, default="self")
     p.add_argument("--no_shuffle_bn", action="store_true")
+    p.add_argument("--fast_teacher", action="store_true",
+                   help="reuse the momentum key forward for KL logits "
+                        "(1 teacher fwd instead of 2; documented deviation)")
     a = p.parse_args(argv)
     cfg = _cfg_from_common(a)
     cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre, strict=a.std_strict)
@@ -299,6 +306,6 @@ def parse_student_args(argv=None) -> Config:
     cfg.moma = MomaConfig(
         feat_dim=a.feat_dim, nce_k=a.nce_k, nce_t=a.nce_t, nce_m=a.nce_m,
         alpha=a.alpha, mem=a.mem, head=a.head, attn=a.attn, mode=a.mode,
-        shuffle_bn=not a.no_shuffle_bn,
+        shuffle_bn=not a.no_shuffle_bn, fast_teacher=a.fast_teacher,
     )
     return cfg.finalize()

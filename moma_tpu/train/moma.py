@@ -93,6 +93,7 @@ def make_moma_train_step(
     mem = cfg.moma.mem
     attn = cfg.moma.attn
     shuffle_bn = cfg.moma.shuffle_bn
+    fast_teacher = getattr(cfg.moma, "fast_teacher", False)
 
     def step(state: MomaState, batch, rng):
         images = batch["image"]
@@ -132,7 +133,7 @@ def make_moma_train_step(
         else:
             key_images = images
         if cross_arch:
-            (feat_key, _), m_mut = state.apply_fn(
+            (feat_key, logit_key), m_mut = state.apply_fn(
                 {
                     "params": new_momentum_params,
                     "batch_stats": state.ema_batch_stats,
@@ -143,7 +144,7 @@ def make_moma_train_step(
             )
             new_momentum_bs = m_mut.get("batch_stats", {})
         else:
-            (feat_key, _), m_mut = state.teacher_apply_fn(
+            (feat_key, logit_key), m_mut = state.teacher_apply_fn(
                 {
                     "params": new_momentum_params,
                     "batch_stats": state.teacher_batch_stats,
@@ -166,15 +167,22 @@ def make_moma_train_step(
         all_k = k_emb  # global batch == gathered keys (see module docstring)
 
         # ---- teacher logits for KL: eval mode; PRE-EMA params in same-arch
-        # mode (loops:269-272), the fixed teacher in cross-arch mode
-        feat_t, logit_t = state.teacher_apply_fn(
-            {
-                "params": state.teacher_params,
-                "batch_stats": state.teacher_batch_stats,
-            },
-            images,
-            train=False,
-        )
+        # mode (loops:269-272), the fixed teacher in cross-arch mode.
+        # fast_teacher (opt-in, same-arch only): reuse the key forward's
+        # logits instead — 1 teacher fwd/step instead of 2 (~25% faster);
+        # KL then sees post-EMA params + train-mode BN (deviation).
+        if fast_teacher and not cross_arch:
+            logit_t = logit_key[inv] if shuffle_bn else logit_key
+            feat_t = None
+        else:
+            feat_t, logit_t = state.teacher_apply_fn(
+                {
+                    "params": state.teacher_params,
+                    "batch_stats": state.teacher_batch_stats,
+                },
+                images,
+                train=False,
+            )
         logit_t = jax.lax.stop_gradient(logit_t)
         kt_emb = None
         if cross_arch and mem in ("MoCoST", "MoCoSSTT"):

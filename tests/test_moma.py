@@ -168,6 +168,21 @@ def test_moma_mocoatt_modes(mesh8, attn):
     assert int(new_state.queue.ptr) == B
 
 
+def test_moma_fast_teacher_mode(mesh8):
+    """--fast_teacher: one teacher forward; step runs, KL finite, and the
+    logits path differs from the exact 2-forward mode."""
+    cfg, state, _ = _setup(mesh8)
+    cfg.moma.fast_teacher = True
+    heads = CMOHeads("mlp", "self", FEAT, 64, 64)
+    step = make_moma_train_step(
+        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im), donate=False
+    )
+    new_state, m = step(state, _batch(mesh8), jax.random.PRNGKey(1))
+    for k in ("loss", "loss_div", "loss_kd"):
+        assert np.isfinite(float(m[k])), k
+    assert int(new_state.queue.ptr) == B
+
+
 def test_moma_losses_descend(mesh8):
     """Training dynamics sanity: 15 steps on a fixed batch must drive the
     total loss down (CE memorization + contrast alignment)."""
