@@ -76,6 +76,12 @@ class BatchNorm(nn.Module):
     torch's module.train()/.eval().  When ``axis_name`` is set, batch
     statistics are computed across the named mesh axis (sync-BN — the
     TPU-idiomatic alternative to Shuffle-BN; see SURVEY.md §2.3).
+
+    Backed by ops/fused_bn.FusedBatchNorm: train-mode statistics and
+    gradient reductions run through lane-packed Pallas kernels on TPU
+    (the round-1 trace showed XLA's NHWC channel reductions at ~4% of HBM
+    bandwidth = 56% of the MoMA step); numerics and the variable tree are
+    exactly nn.BatchNorm's (child kept named 'BatchNorm_0').
     """
 
     use_running_average: bool
@@ -86,12 +92,15 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        from moma_tpu.ops.fused_bn import FusedBatchNorm
+
+        return FusedBatchNorm(
             use_running_average=self.use_running_average,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
             axis_name=self.axis_name,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -94,9 +94,13 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        # fused (Pallas-reduction) BatchNorm — nn.BatchNorm numerics and
+        # variable tree, child name kept for checkpoint/import parity
+        from moma_tpu.ops.fused_bn import FusedBatchNorm
+
+        return FusedBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
-            epsilon=BN_EPS, dtype=self.dtype,
+            epsilon=BN_EPS, dtype=self.dtype, name="BatchNorm_0",
         )(x)
 
 
