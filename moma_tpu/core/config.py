@@ -111,6 +111,11 @@ class MomaConfig:
     # KL term instead of a second teacher forward (~25% faster steps;
     # KL then sees post-EMA params + train-mode BN)
     fast_teacher: bool = False
+    # recompute-style fused Pallas forward for the (gradient-free)
+    # momentum-encoder key pass (ops/fused_effnet.py).  Numerically
+    # equivalent (same BN batch statistics) but measured slower than
+    # XLA's forward on v5e (BASELINE.md) — opt-in 'on' only.
+    fused_teacher: str = "off"
 
 
 @dataclass

@@ -95,6 +95,20 @@ def make_moma_train_step(
     shuffle_bn = cfg.moma.shuffle_bn
     fast_teacher = getattr(cfg.moma, "fast_teacher", False)
 
+    # recompute-style fused Pallas forward for the gradient-free teacher
+    # passes (ops/fused_effnet.py).  Opt-in only: measured SLOWER than
+    # XLA's forward on v5e (40 vs 24.5 ms — the in-kernel depthwise costs
+    # ~2x XLA's fused MACs, eating the expand-materialization savings;
+    # numbers in BASELINE.md).  Kept as a correct, tested base for a
+    # future custom-VJP student path.
+    ft_mode = getattr(cfg.moma, "fused_teacher", "off")
+    use_fused_teacher = (
+        not cross_arch
+        and ft_mode == "on"
+        and cfg.model_t.name.startswith("effiB")
+    )
+    ft_variant = "b" + cfg.model_t.name[len("effiB"):] if use_fused_teacher else None
+
     def step(state: MomaState, batch, rng):
         images = batch["image"]
         if augment_fn is not None:
@@ -143,6 +157,24 @@ def make_moma_train_step(
                 mutable=["batch_stats"],
             )
             new_momentum_bs = m_mut.get("batch_stats", {})
+        elif use_fused_teacher:
+            from moma_tpu.ops import fused_effnet as FE
+            from moma_tpu.ops.fused_effnet_pallas import fused_forward
+
+            fe_params, fe_specs = FE.extract_params(
+                {
+                    "params": new_momentum_params,
+                    "batch_stats": state.teacher_batch_stats,
+                },
+                variant=ft_variant,
+            )
+            pooled_key, logit_key, collected = fused_forward(
+                fe_params, fe_specs, key_images, train=True,
+            )
+            feat_key = (pooled_key,)
+            new_momentum_bs = FE.updated_batch_stats(
+                state.teacher_batch_stats, fe_specs, collected
+            )
         else:
             (feat_key, logit_key), m_mut = state.teacher_apply_fn(
                 {
@@ -174,6 +206,21 @@ def make_moma_train_step(
         if fast_teacher and not cross_arch:
             logit_t = logit_key[inv] if shuffle_bn else logit_key
             feat_t = None
+        elif use_fused_teacher:
+            from moma_tpu.ops import fused_effnet as FE
+            from moma_tpu.ops.fused_effnet_pallas import fused_forward
+
+            fe_params_t, fe_specs_t = FE.extract_params(
+                {
+                    "params": state.teacher_params,
+                    "batch_stats": state.teacher_batch_stats,
+                },
+                variant=ft_variant,
+            )
+            _pooled_t, logit_t, _ = fused_forward(
+                fe_params_t, fe_specs_t, images, train=False,
+            )
+            feat_t = (_pooled_t,)
         else:
             feat_t, logit_t = state.teacher_apply_fn(
                 {
