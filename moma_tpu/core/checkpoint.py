@@ -57,9 +57,12 @@ class CheckpointManager:
 
 class StatsWriter:
     """Per-epoch JSON stat history — the `update_dict_to_json` equivalent
-    (helper/util.py:87-109) plus a JSONL scalar stream for step metrics."""
+    (helper/util.py:87-109) plus a JSONL scalar stream for step metrics and
+    TensorBoard event files (the reference's rank-0 `tensorboard_logger`
+    scalars, train_teacher.py:228,265-303) via the dependency-free
+    core/tb_writer.py."""
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, tensorboard: bool = True):
         os.makedirs(directory, exist_ok=True)
         self.stat_path = os.path.join(directory, "stat.json")
         self.scalar_path = os.path.join(directory, "scalars.jsonl")
@@ -67,6 +70,11 @@ class StatsWriter:
         if os.path.exists(self.stat_path):
             with open(self.stat_path) as f:
                 self._stats = json.load(f)
+        self._tb = None
+        if tensorboard:
+            from moma_tpu.core.tb_writer import TBWriter
+
+            self._tb = TBWriter(os.path.join(directory, "tb"))
 
     def update_epoch(self, epoch: int, values: dict):
         self._stats[str(epoch)] = {
@@ -77,10 +85,17 @@ class StatsWriter:
         with open(tmp, "w") as f:
             json.dump(self._stats, f, indent=2)
         os.replace(tmp, self.stat_path)
+        if self._tb is not None:
+            for k, v in values.items():
+                if isinstance(v, (int, float, np.floating)) and not isinstance(v, bool):
+                    self._tb.scalar(f"epoch/{k}", float(v), epoch)
+            self._tb.flush()
 
     def scalar(self, step: int, **values):
         with open(self.scalar_path, "a") as f:
             f.write(json.dumps({"step": step, **{k: float(v) for k, v in values.items()}}) + "\n")
+        if self._tb is not None:
+            self._tb.scalars(step, **values)
 
     def write_params_json(self, directory: str, payload: dict):
         """parameters.json flag dump (train_teacher.py:358-366 parity)."""

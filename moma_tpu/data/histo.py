@@ -71,11 +71,25 @@ class PackedCache:
         mm = np.memmap(tmp, dtype=np.uint8, mode="w+",
                        shape=(n, size, size, 3))
 
+        # Native path first: C++ libjpeg decode + PIL-parity resize pool
+        # (data/native/decoder.cpp); rows it can't handle (PNG, corrupt)
+        # fall back to PIL below.
+        from moma_tpu.data import native as _native
+
+        todo = list(range(n))
+        paths = [pairs[i][0] for i in todo]
+        res = _native.decode_files(paths, size, threads=workers)
+        if res is not None:
+            images, failed = res
+            mm[:] = images
+            todo = [i for i in todo if failed[i]]
+
         def work(i):
             mm[i] = _decode_resize(pairs[i][0], size)
 
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(work, range(n)))
+        if todo:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(work, todo))
         mm.flush()
         del mm
         os.replace(tmp, bin_path)

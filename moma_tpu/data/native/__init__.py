@@ -1,8 +1,12 @@
-"""ctypes bindings for the native batch assembler (batcher.cpp).
+"""ctypes bindings for the native data-layer components:
 
-Auto-builds with g++ on first import (single translation unit, ~1s,
-cached next to the source); falls back to a numpy implementation when no
-compiler is available so the framework stays importable everywhere.
+  batcher.cpp — mmap batch assembler + async prefetcher (libbatcher.so)
+  decoder.cpp — libjpeg decode + PIL-parity resize pool (libdecoder.so)
+
+Auto-builds with g++ on first use (single translation units, ~1s each,
+cached next to the source); falls back to numpy/PIL implementations when
+no compiler or libjpeg is available so the framework stays importable
+everywhere.
 """
 
 from __future__ import annotations
@@ -66,6 +70,94 @@ def get_lib():
         lib.bt_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+_DEC_SRC = os.path.join(_HERE, "decoder.cpp")
+_DEC_SO = os.path.join(_HERE, "libdecoder.so")
+_dec_lib = None
+_dec_tried = False
+
+
+def _build_decoder() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _DEC_SO, _DEC_SRC, "-ljpeg"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_decoder_lib():
+    global _dec_lib, _dec_tried
+    with _lock:
+        if _dec_lib is not None or _dec_tried:
+            return _dec_lib
+        _dec_tried = True
+        if (not os.path.exists(_DEC_SO)
+                or os.path.getmtime(_DEC_SO) < os.path.getmtime(_DEC_SRC)):
+            if not _build_decoder():
+                return None
+        try:
+            lib = ctypes.CDLL(_DEC_SO)
+        except OSError:
+            return None
+        lib.dec_decode_mem.restype = ctypes.c_int
+        lib.dec_decode_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.dec_decode_file.restype = ctypes.c_int
+        lib.dec_decode_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.dec_decode_files.restype = ctypes.c_int64
+        lib.dec_decode_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        _dec_lib = lib
+        return _dec_lib
+
+
+def decode_files(paths, size: int, fast: bool = False, threads: int = 8):
+    """Decode+resize JPEG files natively -> (images (n,size,size,3) uint8,
+    fail (n,) bool).  Rows with fail=True (non-JPEG, corrupt) are zeroed —
+    the caller falls back to PIL for those.  Returns None if the native
+    decoder is unavailable."""
+    lib = get_decoder_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    failed = np.zeros((n,), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dec_decode_files(
+        c_paths, n, size, int(fast),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        failed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+    )
+    return out, failed.astype(bool)
+
+
+def decode_mem(blob: bytes, size: int, fast: bool = False):
+    """Decode one in-memory JPEG -> (size,size,3) uint8, or None on
+    failure / native decoder unavailable."""
+    lib = get_decoder_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty((size, size, 3), dtype=np.uint8)
+    rc = lib.dec_decode_mem(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size, size,
+        int(fast), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None
 
 
 class NativeBatcher:

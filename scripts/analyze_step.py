@@ -44,7 +44,8 @@ def build():
     from moma_tpu.train.moma import make_moma_train_step
     from moma_tpu.train.state import MomaState, make_sgd
 
-    batch_size, image_size = 64, 512
+    batch_size = int(os.environ.get("MOMA_BS", "64"))
+    image_size = 512
     cfg = Config()
     cfg.data.dataset = "prostate_hv"
     cfg.data.batch_size = batch_size
