@@ -105,8 +105,11 @@ def _autocontrast_lut(hist: jax.Array) -> jax.Array:
     lo = jnp.argmax(nonzero, axis=-1).astype(jnp.float32)  # first nonzero
     hi = 255.0 - jnp.argmax(nonzero[..., ::-1], axis=-1).astype(jnp.float32)
     scale = 255.0 / jnp.maximum(hi - lo, 1e-9)
-    lut = (v[None, None, :] - lo[..., None]) * scale[..., None]
-    lut = jnp.clip(lut, 0.0, 255.0)
+    # PIL truncates each entry to int (ImageOps.autocontrast `ix = int(..)`);
+    # floor after the >=0 clip == that truncation.  Also makes every LUT
+    # integer-valued -> exact in bf16 (see _apply_lut).
+    lut = jnp.floor(jnp.clip((v[None, None, :] - lo[..., None]) * scale[..., None],
+                             0.0, 255.0))
     # hi <= lo -> identity (PIL returns image unchanged)
     return jnp.where((hi > lo)[..., None], lut, v[None, None, :])
 
@@ -129,16 +132,23 @@ def _equalize_lut(hist: jax.Array) -> jax.Array:
     return jnp.where((step > 0)[..., None], lut, v[None, None, :])
 
 
-def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
+def _apply_lut(lut: jax.Array, x_int: jax.Array,
+               out_dtype=jnp.float32) -> jax.Array:
     """Per-image LUT application WITHOUT a per-lane gather (x_int NCHW).
 
     Decompose v = 16*hi + lo and contract two 16-wide one-hots against the
     LUT as a (16,16) matrix: out[n] = oh_hi[n,:] @ L @ oh_lo[n,:].
     Batch processed in chunks to bound the (chunk,C,N,16) intermediate.
+
+    Runs in bf16 end-to-end and stays EXACT: all LUT builders emit integer
+    values 0..255 (exactly representable in bf16), one-hots are 0/1, and
+    each reduction has a single nonzero term — so bf16 halves the HBM
+    traffic of the (chunk,C,N,16) intermediates for free (this stage is
+    bandwidth-bound, ~22 ms/step at BS128@512^2 in f32).
     """
     B, C, H, W = x_int.shape
     N = H * W
-    L = lut.reshape(B, C, 16, 16)
+    L = lut.reshape(B, C, 16, 16).astype(jnp.bfloat16)
     flat = x_int.reshape(B, C, N)
     bins = jnp.arange(16, dtype=jnp.int32)
 
@@ -146,12 +156,13 @@ def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
         L_i, flat_i = args  # (chunk,C,16,16), (chunk,C,N)
         hi = flat_i // 16
         lo = flat_i % 16
-        oh_hi = (hi[..., None] == bins).astype(jnp.float32)
+        oh_hi = (hi[..., None] == bins).astype(jnp.bfloat16)
         t = jnp.einsum(
-            "bcnh,bchl->bcnl", oh_hi, L_i, preferred_element_type=jnp.float32
+            "bcnh,bchl->bcnl", oh_hi, L_i,
+            preferred_element_type=jnp.bfloat16,
         )
-        oh_lo = (lo[..., None] == bins).astype(jnp.float32)
-        return jnp.sum(t * oh_lo, axis=-1)
+        oh_lo = (lo[..., None] == bins).astype(jnp.bfloat16)
+        return jnp.sum(t * oh_lo, axis=-1, dtype=jnp.bfloat16)
 
     chunk = max(1, min(B, 8))
     if B % chunk:
@@ -159,7 +170,7 @@ def _apply_lut(lut: jax.Array, x_int: jax.Array) -> jax.Array:
     Lc = L.reshape(B // chunk, chunk, C, 16, 16)
     fc = flat.reshape(B // chunk, chunk, C, N)
     out = jax.lax.map(per_chunk, (Lc, fc)).reshape(B, C, N)
-    return out.reshape(B, C, H, W)
+    return out.reshape(B, C, H, W).astype(out_dtype)
 
 
 # -------------------------------------------------------------- the layer

@@ -107,7 +107,8 @@ def _make_kernel(H: int, W: int):
         # original image for the prob gate, shipped bf16 (integers
         # 0..255 are exact in bf16; halves this block's VMEM)
         x = x_ref[0].astype(jnp.float32)
-        y = y_ref[0]  # (3,H,W) f32 LUT-applied
+        # LUT-applied image, also bf16-exact integers (see _apply_lut)
+        y = y_ref[0].astype(jnp.float32)  # (3,H,W)
 
         # ---- stage 2: enhance blend  out = a*y + b*round(luma) + c*mean_l
         a = sc(0)
@@ -216,8 +217,9 @@ def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     )  # (B, 16)
 
     # stage 1 in XLA (fast one-hot contraction; Mosaic reshape rules block
-    # the in-kernel variant), stages 2-4 fused in the kernel
-    y_lut = RA._apply_lut(lut, x_int)
+    # the in-kernel variant), stages 2-4 fused in the kernel; bf16 transfer
+    # is exact (integer LUT values) and halves the HBM handoff
+    y_lut = RA._apply_lut(lut, x_int, out_dtype=jnp.bfloat16)
 
     kernel = _make_kernel(H, W)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -35,13 +35,19 @@ def train_one_epoch(
     base_rng: jax.Array,
     print_freq: int = 100,
     log_fn: Optional[Callable] = None,
+    stop=None,
 ) -> tuple:
-    """Runs one epoch; returns (state, {'loss','acc1','acc5','time',...})."""
+    """Runs one epoch; returns (state, {'loss','acc1','acc5','time',...}).
+
+    `stop` (core.preempt.GracefulStop) aborts between steps when set —
+    the returned state is consistent and checkpointable mid-epoch."""
     loader.set_epoch(epoch)
     meters = {k: Meter() for k in ("loss", "acc1", "acc5", "batch_time", "data_time")}
     t0 = time.perf_counter()
     bs = loader.batch_size
     for i, batch in enumerate(loader):
+        if stop is not None and stop.stopping:
+            break
         t1 = time.perf_counter()
         meters["data_time"].update(t1 - t0)
         b = shard_batch(batch, mesh)

@@ -478,6 +478,10 @@ def run_moma(cfg: Config, synthetic: bool = False):
         start_epoch = int(meta.get("epoch", 0)) + 1
         print(f"[resume] from epoch {start_epoch}")
 
+    from moma_tpu.core.preempt import GracefulStop
+
+    # handlers stay installed for the rest of the process (runner-scoped)
+    stop_guard = GracefulStop().__enter__()
     for epoch in range(start_epoch, cfg.run.epochs + 1):
         if cfg.run.profile_dir and epoch == start_epoch:
             from moma_tpu.core.profiling import trace
@@ -486,12 +490,28 @@ def run_moma(cfg: Config, synthetic: bool = False):
                 state, tr = train_one_epoch(
                     state, train_loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                    stop=stop_guard,
                 )
         else:
             state, tr = train_one_epoch(
                 state, train_loader, step_fn, mesh, epoch, train_rng,
                 print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                stop=stop_guard,
             )
+        if stop_guard.stopping:
+            # preemption: persist FULL state (queue + EMA teacher included);
+            # --resume redoes this epoch
+            save_state = {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "teacher_params": state.teacher_params,
+                "teacher_batch_stats": state.teacher_batch_stats,
+                "queue": state.queue, "opt_state": state.opt_state,
+                "step": state.step,
+            }
+            ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
+            print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+            return state, {"best_acc": best_acc, "best_f1": best_f1,
+                           "run_dir": run_dir, "preempted": True}
         val = evaluate(
             state.params["student"], state.batch_stats["student"],
             val_loader, eval_step, mesh, n_cls,

@@ -125,6 +125,18 @@ def run_student(cfg: Config, synthetic: bool = False):
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
+    start_epoch = 1
+    if cfg.run.resume and ckpt.exists("latest"):
+        restorable = {"params": state.params, "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state, "step": state.step}
+        if state.extra is not None:  # CRD memory banks round-trip too
+            restorable["extra"] = state.extra
+        restored = ckpt.restore("latest", restorable)
+        state = state.replace(**restored)
+        meta = ckpt.meta("latest") or {}
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"[resume] from epoch {start_epoch}")
+
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate)
     simkd_eval = cfg.distill.distill == "simkd"
@@ -163,9 +175,13 @@ def run_student(cfg: Config, synthetic: bool = False):
 
     loader = _SampledLoader(train_loader)
 
+    from moma_tpu.core.preempt import GracefulStop
+
     best_acc, best_f1 = -1.0, -1.0
     t_start = time.time()
-    for epoch in range(1, cfg.run.epochs + 1):
+    # handlers stay installed for the rest of the process (runner-scoped)
+    stop_guard = GracefulStop().__enter__()
+    for epoch in range(start_epoch, cfg.run.epochs + 1):
         if cfg.run.profile_dir and epoch == start_epoch:
             from moma_tpu.core.profiling import trace
 
@@ -173,12 +189,25 @@ def run_student(cfg: Config, synthetic: bool = False):
                 state, tr = train_one_epoch(
                     state, loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                    stop=stop_guard,
                 )
         else:
             state, tr = train_one_epoch(
                 state, loader, step_fn, mesh, epoch, train_rng,
                 print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                stop=stop_guard,
             )
+        if stop_guard.stopping:
+            save_state = {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step,
+            }
+            if state.extra is not None:
+                save_state["extra"] = state.extra
+            ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
+            print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+            return state, {"best_acc": best_acc, "best_f1": best_f1,
+                           "run_dir": run_dir, "preempted": True}
         eval_params = state.params if simkd_eval else state.params["student"]
         eval_bs = state.batch_stats if simkd_eval else state.batch_stats["student"]
         val = evaluate(eval_params, eval_bs, val_loader, eval_step, mesh, n_cls)
@@ -198,6 +227,8 @@ def run_student(cfg: Config, synthetic: bool = False):
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step,
         }
+        if state.extra is not None:
+            save_state["extra"] = state.extra
         meta = {"epoch": epoch, **row}
         ckpt.save("latest", save_state, meta)
         if val["acc"] > best_acc:

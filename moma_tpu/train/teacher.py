@@ -133,49 +133,62 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate)
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=eval_norm)
 
+    from moma_tpu.core.preempt import GracefulStop
+
     best_acc, best_f1 = -1.0, -1.0
     t_start = time.time()
-    for epoch in range(start_epoch, cfg.run.epochs + 1):
-        if cfg.run.profile_dir and epoch == start_epoch:
-            from moma_tpu.core.profiling import trace
+    with GracefulStop() as stop_guard:
+        for epoch in range(start_epoch, cfg.run.epochs + 1):
+            if cfg.run.profile_dir and epoch == start_epoch:
+                from moma_tpu.core.profiling import trace
 
-            with trace(cfg.run.profile_dir):
+                with trace(cfg.run.profile_dir):
+                    state, tr = train_one_epoch(
+                        state, train_loader, step_fn, mesh, epoch, train_rng,
+                        print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                        stop=stop_guard,
+                    )
+            else:
                 state, tr = train_one_epoch(
                     state, train_loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                    stop=stop_guard,
                 )
-        else:
-            state, tr = train_one_epoch(
-                state, train_loader, step_fn, mesh, epoch, train_rng,
-                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+            if stop_guard.stopping:
+                # preemption: persist full state; --resume redoes this epoch
+                save_state = {"params": state.params, "batch_stats": state.batch_stats,
+                              "opt_state": state.opt_state, "step": state.step}
+                ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
+                print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+                return state, {"best_acc": best_acc, "best_f1": best_f1,
+                               "run_dir": run_dir, "preempted": True}
+            val = evaluate(state.params, state.batch_stats, val_loader, eval_step, mesh, n_cls)
+            row = {
+                "train_loss": tr["loss"], "train_acc": tr["acc1"],
+                "ips": tr["ips"], "val_loss": val["loss"], "val_acc": val["acc"],
+                "val_f1": val["f1"],
+            }
+            if not cfg.run.skip_test:
+                test = evaluate(
+                    state.params, state.batch_stats, test_loader, eval_step, mesh, n_cls
+                )
+                row.update(test_loss=test["loss"], test_acc=test["acc"], test_f1=test["f1"])
+            stats.update_epoch(epoch, row)
+            print(
+                f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['acc1']:.2f} | "
+                f"val acc {val['acc']:.2f} f1 {val['f1']:.4f} | {tr['ips']:.1f} img/s"
             )
-        val = evaluate(state.params, state.batch_stats, val_loader, eval_step, mesh, n_cls)
-        row = {
-            "train_loss": tr["loss"], "train_acc": tr["acc1"],
-            "ips": tr["ips"], "val_loss": val["loss"], "val_acc": val["acc"],
-            "val_f1": val["f1"],
-        }
-        if not cfg.run.skip_test:
-            test = evaluate(
-                state.params, state.batch_stats, test_loader, eval_step, mesh, n_cls
-            )
-            row.update(test_loss=test["loss"], test_acc=test["acc"], test_f1=test["f1"])
-        stats.update_epoch(epoch, row)
-        print(
-            f"epoch {epoch}: train loss {tr['loss']:.4f} acc {tr['acc1']:.2f} | "
-            f"val acc {val['acc']:.2f} f1 {val['f1']:.4f} | {tr['ips']:.1f} img/s"
-        )
 
-        save_state = {"params": state.params, "batch_stats": state.batch_stats,
-                      "opt_state": state.opt_state, "step": state.step}
-        meta = {"epoch": epoch, **{k: v for k, v in row.items() if k != "conf_mat"}}
-        ckpt.save("latest", save_state, meta)
-        if val["acc"] > best_acc:
-            best_acc = val["acc"]
-            ckpt.save("best_acc", save_state, meta)
-        if val["f1"] > best_f1:
-            best_f1 = val["f1"]
-            ckpt.save("best_f1", save_state, meta)
+            save_state = {"params": state.params, "batch_stats": state.batch_stats,
+                          "opt_state": state.opt_state, "step": state.step}
+            meta = {"epoch": epoch, **{k: v for k, v in row.items() if k != "conf_mat"}}
+            ckpt.save("latest", save_state, meta)
+            if val["acc"] > best_acc:
+                best_acc = val["acc"]
+                ckpt.save("best_acc", save_state, meta)
+            if val["f1"] > best_f1:
+                best_f1 = val["f1"]
+                ckpt.save("best_f1", save_state, meta)
 
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)

@@ -92,16 +92,40 @@ def test_equalize_lut():
 
 
 def test_apply_lut_matmul_matches_direct():
-    """The one-hot-contraction LUT application must equal direct indexing."""
+    """The one-hot-contraction LUT application must equal direct indexing
+    EXACTLY for integer-valued LUTs (the documented invariant: every LUT
+    builder emits integers 0..255, which lets _apply_lut run in bf16)."""
     rs = np.random.RandomState(11)
     x = rs.randint(0, 256, (4, 3, 8, 8)).astype(np.int32)  # NCHW
-    lut = rs.rand(4, 3, 256).astype(np.float32) * 255
+    lut = rs.randint(0, 256, (4, 3, 256)).astype(np.float32)
     got = np.asarray(RA._apply_lut(jnp.asarray(lut), jnp.asarray(x)))
     want = np.empty_like(got)
     for b in range(4):
         for c in range(3):
             want[b, c] = lut[b, c][x[b, c]]
-    np.testing.assert_allclose(got, want, atol=1e-3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_all_lut_builders_emit_integers():
+    """bf16 exactness of _apply_lut rests on LUT values being integers in
+    [0,255] — pin that for every builder, including data-dependent ones."""
+    rs = np.random.RandomState(12)
+    x = jnp.asarray(rs.randint(0, 256, (3, 3, 16, 16)).astype(np.int32))
+    hist = RA._histograms(x)
+    mag = jnp.asarray([0.0, 5.7, 10.0])
+    luts = {
+        "identity": RA._identity_lut(3),
+        "invert": RA._invert_lut(3),
+        "posterize": RA._posterize_lut(3, mag),
+        "solarize": RA._solarize_lut(3, mag),
+        "solarize_add": RA._solarize_add_lut(3, mag),
+        "autocontrast": RA._autocontrast_lut(hist),
+        "equalize": RA._equalize_lut(hist),
+    }
+    for name, lut in luts.items():
+        a = np.asarray(lut)
+        assert np.array_equal(a, np.round(a)), f"{name} LUT not integral"
+        assert a.min() >= 0 and a.max() <= 255, f"{name} LUT out of range"
 
 
 @pytest.mark.parametrize("factor", [0.1, 0.64, 1.9])
