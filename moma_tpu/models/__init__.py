@@ -60,6 +60,10 @@ _REGISTRY: Dict[str, tuple] = {
     "effiB1": ("moma_tpu.models.efficientnet", "efficientnet_b1"),
     "effiB2": ("moma_tpu.models.efficientnet", "efficientnet_b2"),
     "effiB3": ("moma_tpu.models.efficientnet", "efficientnet_b3"),
+    "effiB4": ("moma_tpu.models.efficientnet", "efficientnet_b4"),
+    "effiB5": ("moma_tpu.models.efficientnet", "efficientnet_b5"),
+    "effiB6": ("moma_tpu.models.efficientnet", "efficientnet_b6"),
+    "effiB7": ("moma_tpu.models.efficientnet", "efficientnet_b7"),
     # ViT / DeiT (models/vits/)
     "vit_base_patch16_224": ("moma_tpu.models.vit", "vit_base_patch16_224"),
     "vit_tiny_patch16_224": ("moma_tpu.models.vit", "vit_tiny_patch16_224"),
@@ -67,6 +71,11 @@ _REGISTRY: Dict[str, tuple] = {
     "deit_base_patch16_224": ("moma_tpu.models.vit", "deit_base_patch16_224"),
     "deit_tiny_patch16_224": ("moma_tpu.models.vit", "deit_tiny_patch16_224"),
     "deit_small_patch16_224": ("moma_tpu.models.vit", "deit_small_patch16_224"),
+    # 384-input ViT/DeiT (model_def.py:78-103; same modules, pos-embed
+    # grid follows the init input size, npz loader resizes 224 ckpts)
+    "vit_tiny_patch16_384": ("moma_tpu.models.vit", "vit_tiny_patch16_384"),
+    "vit_base_patch16_384": ("moma_tpu.models.vit", "vit_base_patch16_384"),
+    "deit_base_patch16_384": ("moma_tpu.models.vit", "deit_base_patch16_384"),
 }
 
 

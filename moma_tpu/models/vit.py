@@ -112,3 +112,10 @@ vit_base_patch16_224 = _factory(768, 12, 12)
 deit_tiny_patch16_224 = _factory(192, 12, 3)
 deit_small_patch16_224 = _factory(384, 12, 6)
 deit_base_patch16_224 = _factory(768, 12, 12)
+# 384-input variants (reference model_def.py:78-103): identical
+# architecture — the pos-embed grid is sized at init from the actual input
+# resolution, and vit_npz.load_npz resizes pretrained 224 position
+# embeddings to the new grid (reference _load_weights capability).
+vit_tiny_patch16_384 = _factory(192, 12, 3)
+vit_base_patch16_384 = _factory(768, 12, 12)
+deit_base_patch16_384 = _factory(768, 12, 12)

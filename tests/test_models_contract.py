@@ -71,3 +71,41 @@ def test_bf16_compute_dtype():
     # params stay fp32, logits are cast to fp32 for the loss
     assert logits.dtype == jnp.float32
     assert feats[0].dtype == jnp.bfloat16
+
+
+REFERENCE_MODEL_DICT = [
+    # models/__init__.py:13-44 verbatim keys
+    "resnet38", "resnet110", "resnet116", "resnet14x2", "resnet38x2",
+    "resnet110x2", "resnet8x4", "resnet14x4", "resnet32x4", "resnet38x4",
+    "vgg8", "vgg13", "MobileNetV2", "MobileNetV2_1_0", "ShuffleV1",
+    "ShuffleV2", "ShuffleV2_1_5", "ResNet18", "ResNet34", "ResNet50",
+    "resnet101", "resnext50_32x4d", "ResNet10x2", "ResNet18x2",
+    "ResNet34x2", "wrn_50_2", "MobileNetV2_Imagenet", "ShuffleV2_Imagenet",
+]
+MODEL_DEF_NAMES = [
+    # model_def.py resolvable names (effiB0 :12, ViT/DeiT :78-108)
+    "effiB0",
+    "vit_base_patch16_224", "vit_tiny_patch16_224",
+    "deit_base_patch16_224", "deit_tiny_patch16_224",
+    "vit_base_patch16_384", "vit_tiny_patch16_384", "deit_base_patch16_384",
+]
+
+
+def test_registry_covers_reference_names():
+    from moma_tpu.models import available_models
+
+    have = set(available_models())
+    missing = [n for n in REFERENCE_MODEL_DICT + MODEL_DEF_NAMES
+               if n not in have]
+    assert not missing, f"registry missing reference names: {missing}"
+
+
+def test_vit_384_pos_embed_grid():
+    """384-input ViT: pos-embed grid must follow the init resolution
+    (24x24 patches + cls = 577 tokens)."""
+    model = create_model("vit_tiny_patch16_384", num_classes=5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 384, 384, 3)),
+                   train=False)
+    assert v["params"]["pos_embed"].shape == (1, 577, 192)
+    feats, logits = model.apply(v, jnp.zeros((2, 384, 384, 3)), train=False)
+    assert logits.shape == (2, 5)
