@@ -84,14 +84,24 @@ def evaluate(
     n_cls: int,
 ) -> Dict[str, float]:
     """Full-split evaluation: loss, top-1, macro-F1 from one global
-    conf-mat (validate_vanilla + process_accumulated_output parity)."""
+    conf-mat (validate_vanilla + process_accumulated_output parity).
+
+    Accumulates (loss_sum, n, conf_mat) ON DEVICE and fetches once at the
+    end — per-batch scalar fetches cost a host round-trip each (~50 ms on
+    a relay-attached TPU), which dominated eval wall-clock."""
     acc = EvalAccumulator(n_cls=n_cls)
+    tot_loss = tot_n = tot_cm = None
     for batch in loader:
         b = shard_batch(
             {k: batch[k] for k in ("image", "label", "mask")}, mesh
         )
         loss_sum, n, cm = eval_step(params, batch_stats, b)
-        acc.update(float(loss_sum), float(n), np.asarray(cm))
+        if tot_loss is None:
+            tot_loss, tot_n, tot_cm = loss_sum, n, cm
+        else:
+            tot_loss, tot_n, tot_cm = tot_loss + loss_sum, tot_n + n, tot_cm + cm
+    if tot_loss is not None:
+        acc.update(float(tot_loss), float(tot_n), np.asarray(tot_cm))
     return {
         "loss": acc.loss,
         "acc": acc.acc,
