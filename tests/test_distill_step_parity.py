@@ -1,0 +1,272 @@
+"""FULL comparison-distiller step parity vs the reference implementation.
+
+Same harness idea as test_moma_step_parity.py, for the train_distill
+comparison path (helper/loops_moma.py:69-218 / :336-346 branches): one
+complete reference step on CPU with the actual reference modules
+(distiller_zoo losses, models/util.py aux modules, the reused teacher
+classifier), then our single jitted distill step with identical weights
+and batch.  Pins losses AND gradients (student + aux), i.e. the exact
+feature-wiring of each method:
+
+  hint        ConvReg on feat[hint_layer]           (loops:285-287)
+  attention   AT maps over feats[1:-1]              (:288-292)
+  similarity  SP Gram on feat[-2]                   (:293-297)
+  srrl        transfer(feat_s[-1]) + reused cls_t   (:339-341)
+  simkd       bottleneck(feat[-2]) + reused cls_t,
+              metrics from pred_feat_s              (:342-346)
+"""
+
+import copy
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "distiller_zoo")),
+    reason="reference tree not available",
+)
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+torch = pytest.importorskip("torch")
+sys.modules.setdefault("tensorboard_logger", types.ModuleType("tensorboard_logger"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B, HW, N_CLS = 8, 32, 10
+C_CLS, C_DIV, C_BETA = 1.0, 1.0, 3.0
+KD_T = 4.0
+LR = 0.1
+HINT_LAYER = 2
+
+METHODS = ["hint", "attention", "similarity", "srrl", "simkd"]
+
+
+def _reference_step(method, images_np, labels_np):
+    import torch.nn as nn
+    import torch.nn.functional as TF
+    from distiller_zoo import Attention, DistillKL, HintLoss, Similarity
+    from models.resnet import resnet8, resnet32x4
+    from models.util import ConvReg, SimKD, SRRL
+
+    torch.manual_seed(0)
+    model_s = resnet8(num_classes=N_CLS)
+    model_t = resnet32x4(num_classes=N_CLS)
+
+    # shape probe (train_student_moma.py:263-277)
+    with torch.no_grad():
+        model_s.eval(); model_t.eval()
+        fs, _ = model_s(torch.randn(2, 3, HW, HW), is_feat=True)
+        ft, _ = model_t(torch.randn(2, 3, HW, HW), is_feat=True)
+
+    aux = None
+    if method == "hint":
+        aux = ConvReg(fs[HINT_LAYER].shape, ft[HINT_LAYER].shape)
+        criterion_kd = HintLoss()
+    elif method == "attention":
+        criterion_kd = Attention()
+    elif method == "similarity":
+        criterion_kd = Similarity()
+    elif method == "srrl":
+        aux = SRRL(s_n=fs[-1].shape[1], t_n=ft[-1].shape[1])
+        criterion_kd = nn.MSELoss()
+    elif method == "simkd":
+        aux = SimKD(s_n=fs[-2].shape[1], t_n=ft[-2].shape[1], factor=2)
+        criterion_kd = nn.MSELoss()
+
+    snap = {
+        "model_s": copy.deepcopy(model_s.state_dict()),
+        "model_t": copy.deepcopy(model_t.state_dict()),
+        "aux": copy.deepcopy(aux.state_dict()) if aux is not None else None,
+    }
+
+    images = torch.from_numpy(images_np)
+    labels = torch.from_numpy(labels_np)
+    model_s.train()
+    model_t.eval()
+    if aux is not None:
+        aux.train()
+    cls_t = model_t.get_feat_modules()[-1]
+
+    feat_s, logit_s = model_s(images, is_feat=True)
+    with torch.no_grad():
+        feat_t, logit_t = model_t(images, is_feat=True)
+        feat_t = [f.detach() for f in feat_t]
+    loss_cls = nn.CrossEntropyLoss()(logit_s, labels)
+    loss_div = DistillKL(KD_T)(logit_s, logit_t)
+
+    if method == "hint":
+        f_s, f_t = aux(feat_s[HINT_LAYER], feat_t[HINT_LAYER])
+        loss_kd = criterion_kd(f_s, f_t)
+    elif method == "attention":
+        loss_kd = sum(criterion_kd(feat_s[1:-1], feat_t[1:-1]))
+    elif method == "similarity":
+        loss_kd = sum(criterion_kd([feat_s[-2]], [feat_t[-2]]))
+    elif method == "srrl":
+        trans_feat_s, pred_feat_s = aux(feat_s[-1], cls_t)
+        loss_kd = criterion_kd(trans_feat_s, feat_t[-1]) + criterion_kd(
+            pred_feat_s, logit_t
+        )
+    elif method == "simkd":
+        trans_feat_s, trans_feat_t, pred_feat_s = aux(
+            feat_s[-2], feat_t[-2], cls_t
+        )
+        logit_s = pred_feat_s
+        loss_kd = criterion_kd(trans_feat_s, trans_feat_t)
+
+    total = C_CLS * loss_cls + C_DIV * loss_div + C_BETA * loss_kd
+    total.backward()
+
+    def grad_dict(module):
+        grads = {n: p.grad for n, p in module.named_parameters()}
+        return {
+            name: (grads[name].numpy().copy()
+                   if name in grads and grads[name] is not None
+                   else np.zeros_like(t.numpy()))
+            for name, t in module.state_dict().items()
+        }
+
+    return {
+        "snap": snap,
+        "losses": tuple(
+            float(x.detach()) for x in (loss_cls, loss_div, loss_kd, total)
+        ),
+        "grads_s": grad_dict(model_s),
+        "grads_aux": grad_dict(aux) if aux is not None else None,
+        "metric_logits": logit_s.detach().numpy().copy(),
+    }
+
+
+def _build_ours(method, ref, images_np, labels_np):
+    from moma_tpu.core.config import Config, DistillConfig, ModelConfig
+    from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
+    from moma_tpu.models import create_model
+    from moma_tpu.models.torch_import import convert_state_dict
+    from moma_tpu.train.distill import (
+        Distiller,
+        make_distill_train_step,
+        probe_shapes,
+    )
+    from moma_tpu.train.state import DistillState, make_sgd
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = B
+    cfg.distill = DistillConfig(distill=method, cls=C_CLS, div=C_DIV,
+                                beta=C_BETA, kd_T=KD_T, hint_layer=HINT_LAYER,
+                                factor=2)
+    cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
+    cfg.model_t = ModelConfig(name="resnet32x4", n_cls=N_CLS)
+
+    mesh = create_mesh()
+    student = create_model("resnet8", num_classes=N_CLS)
+    teacher = create_model("resnet32x4", num_classes=N_CLS)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, HW, HW, 3))
+    vars_s = student.init(jax.random.fold_in(rng, 0), sample, train=False)
+    vars_t = teacher.init(jax.random.fold_in(rng, 1), sample, train=False)
+
+    def to_np(sd):
+        return {k: v.numpy() for k, v in sd.items()}
+
+    conv_s = convert_state_dict(to_np(ref["snap"]["model_s"]), vars_s)
+    conv_t = convert_state_dict(to_np(ref["snap"]["model_t"]), vars_t)
+
+    fs_shapes, _ = probe_shapes(student, HW, B)
+    ft_shapes, _ = probe_shapes(teacher, HW, B)
+    distiller = Distiller(cfg, fs_shapes, ft_shapes, n_data=100, batch_size=B)
+    aux_params, aux_bs = distiller.init_aux(jax.random.fold_in(rng, 2))
+    conv_aux = {"params": aux_params, "batch_stats": aux_bs}
+    if ref["snap"]["aux"] is not None:
+        conv_aux = convert_state_dict(
+            to_np(ref["snap"]["aux"]),
+            {"params": aux_params, "batch_stats": aux_bs},
+        )
+
+    tx = make_sgd(LR, momentum=0.0, weight_decay=0.0)
+    params = {"student": conv_s["params"], "aux": conv_aux["params"]}
+    state = DistillState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"student": conv_s["batch_stats"],
+                     "aux": conv_aux["batch_stats"]},
+        teacher_params=conv_t["params"],
+        teacher_batch_stats=conv_t["batch_stats"],
+        opt_state=tx.init(params), extra=distiller.init_extra(
+            jax.random.fold_in(rng, 3)
+        ), tx=tx,
+        apply_fn=student.apply, teacher_apply_fn=teacher.apply,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step_fn = make_distill_train_step(distiller, augment_fn=None, donate=False)
+    batch = {
+        "image": jax.device_put(
+            np.transpose(images_np, (0, 2, 3, 1)), data_sharding(mesh)
+        ),
+        "label": jax.device_put(labels_np.astype(np.int32),
+                                data_sharding(mesh, ndim=1)),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
+    return state, new_state, metrics, conv_s, conv_aux
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_distill_step_parity(method):
+    from moma_tpu.models.torch_import import convert_state_dict
+
+    rs = np.random.RandomState(5)
+    images_np = rs.rand(B, 3, HW, HW).astype(np.float32)
+    labels_np = rs.randint(0, N_CLS, (B,)).astype(np.int64)
+
+    ref = _reference_step(method, images_np, labels_np)
+    state, new_state, metrics, conv_s, conv_aux = _build_ours(
+        method, ref, images_np, labels_np
+    )
+
+    cls_r, div_r, kd_r, tot_r = ref["losses"]
+    np.testing.assert_allclose(float(metrics["loss_cls"]), cls_r, rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["loss_div"]), div_r, rtol=2e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(metrics["loss_kd"]), kd_r, rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(metrics["loss"]), tot_r, rtol=3e-4)
+
+    def derived_grads(old, new):
+        return jax.tree_util.tree_map(
+            lambda o, n: (np.asarray(o, np.float32)
+                          - np.asarray(n, np.float32)) / LR,
+            old, new,
+        )
+
+    # student gradients, converted through the weight layout mapping
+    ref_g = convert_state_dict(
+        ref["grads_s"],
+        {"params": conv_s["params"], "batch_stats": conv_s["batch_stats"]},
+    )["params"]
+    got = dict(jax.tree_util.tree_leaves_with_path(
+        derived_grads(state.params["student"], new_state.params["student"])
+    ))
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+    assert len(flat_ref) > 10
+    for path, want in flat_ref:
+        np.testing.assert_allclose(
+            got[path], want, rtol=5e-3, atol=3e-5, err_msg=f"student{path}"
+        )
+
+    if ref["grads_aux"] is not None:
+        ref_ga = convert_state_dict(
+            ref["grads_aux"],
+            {"params": conv_aux["params"],
+             "batch_stats": conv_aux["batch_stats"]},
+        )["params"]
+        got_a = dict(jax.tree_util.tree_leaves_with_path(
+            derived_grads(state.params["aux"], new_state.params["aux"])
+        ))
+        for path, want in jax.tree_util.tree_leaves_with_path(ref_ga):
+            np.testing.assert_allclose(
+                got_a[path], want, rtol=5e-3, atol=3e-5, err_msg=f"aux{path}"
+            )
