@@ -8,12 +8,23 @@ classifier), then our single jitted distill step with identical weights
 and batch.  Pins losses AND gradients (student + aux), i.e. the exact
 feature-wiring of each method:
 
-  hint        ConvReg on feat[hint_layer]           (loops:285-287)
-  attention   AT maps over feats[1:-1]              (:288-292)
-  similarity  SP Gram on feat[-2]                   (:293-297)
-  srrl        transfer(feat_s[-1]) + reused cls_t   (:339-341)
+  kd          loss_kd == 0                          (loops:129-130)
+  hint        ConvReg on feat[hint_layer]           (:131-133)
+  attention   AT maps over feats[1:-1]              (:134-139)
+  similarity  SP Gram on feat[-2]                   (:140-144)
+  vid         VIDLoss(s,t,t) per feats[1:-1] pair   (:145-149)
+  nst         poly-MMD over feats[1:-2]             (:150-154)
+  rkd/pkt     feats[-1]                             (:155-162)
+  kdsvd       SVD subspaces over feats[1:-1]        (:163-167; reference
+              requires equal widths -> resnet32 teacher)
+  correlation LinearEmbed x2 on feats[-1]           (:168-171)
+  crd         dual banks + fixed contrast indices,
+              bank rows + lazy Z after the step     (:173-176)
+  semckd      SelfA(B) + attention-weighted MSE     (:177-179; the dead
+              MLPEmbed.regressor weights are dropped pre-conversion)
+  srrl        transfer(feat_s[-1]) + reused cls_t   (:181-183)
   simkd       bottleneck(feat[-2]) + reused cls_t,
-              metrics from pred_feat_s              (:342-346)
+              metrics from pred_feat_s              (:184-188)
 """
 
 import copy
@@ -38,33 +49,84 @@ sys.modules.setdefault("tensorboard_logger", types.ModuleType("tensorboard_logge
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+@pytest.fixture(autouse=True)
+def no_cuda(monkeypatch):
+    # crd's AliasMethod calls .cuda() in its constructor (crd/memory.py:14)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+
+
 B, HW, N_CLS = 8, 32, 10
 C_CLS, C_DIV, C_BETA = 1.0, 1.0, 3.0
 KD_T = 4.0
 LR = 0.1
 HINT_LAYER = 2
+CC_FEAT = 32          # embed dim for correlation / crd
+NCE_K, NCE_T, NCE_M, N_DATA = 16, 0.07, 0.5, 100
 
-METHODS = ["hint", "attention", "similarity", "srrl", "simkd"]
+METHODS = [
+    "kd", "hint", "attention", "similarity", "srrl", "simkd",
+    "nst", "rkd", "pkt", "kdsvd", "correlation", "vid", "semckd", "crd",
+]
+# kdsvd: the REFERENCE requires equal per-stage channel widths (its bmm of
+# student/teacher V matrices, KDSVD.py:70, crashes for resnet8 vs
+# resnet32x4) — pair it with resnet32 (same widths, deeper)
+TEACHER_FOR = {"kdsvd": "resnet32"}
+# grad tolerances: rkd (smooth-L1 kink + mean-distance normalization) and
+# semckd (softmax attention + adaptive pools) accumulate float noise on a
+# tiny fraction of elements (<0.5% of the stem kernel, max ~5e-4 abs)
+GRAD_TOL = {"rkd": (1e-2, 6e-4), "semckd": (1e-2, 2e-4)}
+
+
+def _crd_indices():
+    rs = np.random.RandomState(11)
+    index = np.arange(B).astype(np.int64)
+    contrast_idx = np.concatenate(
+        [index[:, None], rs.randint(0, N_DATA, (B, NCE_K))], axis=1
+    ).astype(np.int64)
+    return index, contrast_idx
 
 
 def _reference_step(method, images_np, labels_np):
     import torch.nn as nn
     import torch.nn.functional as TF
-    from distiller_zoo import Attention, DistillKL, HintLoss, Similarity
+    from distiller_zoo import (
+        KDSVD,
+        PKT,
+        Attention,
+        Correlation,
+        DistillKL,
+        HintLoss,
+        NSTLoss,
+        RKDLoss,
+        SemCKDLoss,
+        Similarity,
+        VIDLoss,
+    )
     from models.resnet import resnet8, resnet32x4
-    from models.util import ConvReg, SimKD, SRRL
+    from models.util import ConvReg, LinearEmbed, SimKD, SRRL
+    from models.util import SelfA as RefSelfA
+
+    from models.resnet import resnet32
 
     torch.manual_seed(0)
     model_s = resnet8(num_classes=N_CLS)
-    model_t = resnet32x4(num_classes=N_CLS)
+    model_t = (resnet32 if TEACHER_FOR.get(method) == "resnet32"
+               else resnet32x4)(num_classes=N_CLS)
 
     # shape probe (train_student_moma.py:263-277)
     with torch.no_grad():
         model_s.eval(); model_t.eval()
         fs, _ = model_s(torch.randn(2, 3, HW, HW), is_feat=True)
         ft, _ = model_t(torch.randn(2, 3, HW, HW), is_feat=True)
+    s_mid = [f.shape[1] for f in fs[1:-1]]
+    t_mid = [f.shape[1] for f in ft[1:-1]]
 
     aux = None
+    criterion_kd = None
+    crd_banks = None
     if method == "hint":
         aux = ConvReg(fs[HINT_LAYER].shape, ft[HINT_LAYER].shape)
         criterion_kd = HintLoss()
@@ -78,6 +140,37 @@ def _reference_step(method, images_np, labels_np):
     elif method == "simkd":
         aux = SimKD(s_n=fs[-2].shape[1], t_n=ft[-2].shape[1], factor=2)
         criterion_kd = nn.MSELoss()
+    elif method == "nst":
+        criterion_kd = NSTLoss()
+    elif method == "rkd":
+        criterion_kd = RKDLoss()
+    elif method == "pkt":
+        criterion_kd = PKT()
+    elif method == "kdsvd":
+        criterion_kd = KDSVD()
+    elif method == "correlation":
+        # train_student_comparison.py:384-395 wiring
+        aux = nn.ModuleDict({
+            "embed_s": LinearEmbed(fs[-1].shape[1], CC_FEAT),
+            "embed_t": LinearEmbed(ft[-1].shape[1], CC_FEAT),
+        })
+        criterion_kd = Correlation()
+    elif method == "vid":
+        # VIDLoss(s, t, t) per mid pair (train_student_comparison.py:304-310)
+        aux = nn.ModuleList([VIDLoss(s, t, t) for s, t in zip(s_mid, t_mid)])
+    elif method == "semckd":
+        aux = RefSelfA(B, s_mid, t_mid, 1.0)
+        criterion_kd = SemCKDLoss()
+    elif method == "crd":
+        from crd.criterion import CRDLoss
+
+        opt = types.SimpleNamespace(
+            s_dim=fs[-1].shape[1], t_dim=ft[-1].shape[1], feat_dim=CC_FEAT,
+            nce_k=NCE_K, nce_t=NCE_T, nce_m=NCE_M, n_data=N_DATA,
+        )
+        aux = CRDLoss(opt)
+        crd_banks = (aux.contrast.memory_v1.numpy().copy(),
+                     aux.contrast.memory_v2.numpy().copy())
 
     snap = {
         "model_s": copy.deepcopy(model_s.state_dict()),
@@ -100,13 +193,37 @@ def _reference_step(method, images_np, labels_np):
     loss_cls = nn.CrossEntropyLoss()(logit_s, labels)
     loss_div = DistillKL(KD_T)(logit_s, logit_t)
 
-    if method == "hint":
+    if method == "kd":
+        loss_kd = torch.zeros(())
+    elif method == "hint":
         f_s, f_t = aux(feat_s[HINT_LAYER], feat_t[HINT_LAYER])
         loss_kd = criterion_kd(f_s, f_t)
     elif method == "attention":
         loss_kd = sum(criterion_kd(feat_s[1:-1], feat_t[1:-1]))
     elif method == "similarity":
         loss_kd = sum(criterion_kd([feat_s[-2]], [feat_t[-2]]))
+    elif method == "nst":
+        loss_kd = sum(criterion_kd(feat_s[1:-2], feat_t[1:-2]))
+    elif method == "rkd":
+        loss_kd = criterion_kd(feat_s[-1], feat_t[-1])
+    elif method == "pkt":
+        loss_kd = criterion_kd(feat_s[-1], feat_t[-1])
+    elif method == "kdsvd":
+        loss_kd = sum(criterion_kd(feat_s[1:-1], feat_t[1:-1]))
+    elif method == "correlation":
+        loss_kd = criterion_kd(aux["embed_s"](feat_s[-1]),
+                               aux["embed_t"](feat_t[-1]))
+    elif method == "vid":
+        loss_kd = sum(
+            c(f_s, f_t) for f_s, f_t, c in zip(feat_s[1:-1], feat_t[1:-1], aux)
+        )
+    elif method == "semckd":
+        s_value, f_target, weight = aux(feat_s[1:-1], feat_t[1:-1])
+        loss_kd = criterion_kd(s_value, f_target, weight)
+    elif method == "crd":
+        index, contrast_idx = _crd_indices()
+        loss_kd = aux(feat_s[-1], feat_t[-1], torch.from_numpy(index),
+                      torch.from_numpy(contrast_idx))
     elif method == "srrl":
         trans_feat_s, pred_feat_s = aux(feat_s[-1], cls_t)
         loss_kd = criterion_kd(trans_feat_s, feat_t[-1]) + criterion_kd(
@@ -139,7 +256,48 @@ def _reference_step(method, images_np, labels_np):
         "grads_s": grad_dict(model_s),
         "grads_aux": grad_dict(aux) if aux is not None else None,
         "metric_logits": logit_s.detach().numpy().copy(),
+        "crd_banks": crd_banks,
+        "crd_post_banks": (
+            (aux.contrast.memory_v1.numpy().copy(),
+             aux.contrast.memory_v2.numpy().copy())
+            if method == "crd" else None
+        ),
     }
+
+
+def convert_aux(method, torch_sd, template):
+    """Aux-module weight/grad conversion with per-method quirks:
+
+    - vid: the stream converter handles the 3 conv1x1s; `log_scale` is a
+      bare parameter it can't see — copied manually per regressor.
+    - semckd: reference MLPEmbed carries a DEAD `regressor` Sequential in
+      its state dict (models/util.py:138-144, unused by forward) — dropped
+      before stream alignment.
+    - crd: only the two Embed linears convert; the memory banks/buffers
+      live in our CRDMemory `extra`, not in aux params.
+    """
+    import re
+
+    from moma_tpu.models.torch_import import convert_state_dict
+
+    sd = dict(torch_sd)
+    if method == "semckd":
+        sd = {k: v for k, v in sd.items()
+              if not re.match(r"(query|key)_\d+\.regressor\.", k)}
+    elif method == "crd":
+        sd = {k: v for k, v in sd.items()
+              if k.startswith(("embed_s.", "embed_t."))}
+    elif method == "vid":
+        sd = {k: v for k, v in sd.items() if not k.endswith("log_scale")}
+    out = convert_state_dict(sd, template)
+    if method == "vid":
+        for k, v in torch_sd.items():
+            m = re.match(r"(\d+)\.log_scale", k)
+            if m:
+                out["params"][f"vid_{m.group(1)}"]["log_scale"] = (
+                    np.asarray(v)
+                )
+    return out
 
 
 def _build_ours(method, ref, images_np, labels_np):
@@ -159,13 +317,17 @@ def _build_ours(method, ref, images_np, labels_np):
     cfg.data.batch_size = B
     cfg.distill = DistillConfig(distill=method, cls=C_CLS, div=C_DIV,
                                 beta=C_BETA, kd_T=KD_T, hint_layer=HINT_LAYER,
-                                factor=2)
+                                factor=2, soft=1.0)
     cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
-    cfg.model_t = ModelConfig(name="resnet32x4", n_cls=N_CLS)
+    cfg.model_t = ModelConfig(name=TEACHER_FOR.get(method, "resnet32x4"),
+                              n_cls=N_CLS)
+    cfg.moma.feat_dim = CC_FEAT          # correlation/crd embed dim
+    cfg.moma.nce_t, cfg.moma.nce_m = NCE_T, NCE_M
 
     mesh = create_mesh()
+    teacher_name = TEACHER_FOR.get(method, "resnet32x4")
     student = create_model("resnet8", num_classes=N_CLS)
-    teacher = create_model("resnet32x4", num_classes=N_CLS)
+    teacher = create_model(teacher_name, num_classes=N_CLS)
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((2, HW, HW, 3))
     vars_s = student.init(jax.random.fold_in(rng, 0), sample, train=False)
@@ -179,13 +341,24 @@ def _build_ours(method, ref, images_np, labels_np):
 
     fs_shapes, _ = probe_shapes(student, HW, B)
     ft_shapes, _ = probe_shapes(teacher, HW, B)
-    distiller = Distiller(cfg, fs_shapes, ft_shapes, n_data=100, batch_size=B)
+    distiller = Distiller(cfg, fs_shapes, ft_shapes, n_data=N_DATA,
+                          batch_size=B)
     aux_params, aux_bs = distiller.init_aux(jax.random.fold_in(rng, 2))
     conv_aux = {"params": aux_params, "batch_stats": aux_bs}
     if ref["snap"]["aux"] is not None:
-        conv_aux = convert_state_dict(
-            to_np(ref["snap"]["aux"]),
+        conv_aux = convert_aux(
+            method, to_np(ref["snap"]["aux"]),
             {"params": aux_params, "batch_stats": aux_bs},
+        )
+
+    extra = distiller.init_extra(jax.random.fold_in(rng, 3))
+    if method == "crd":
+        from moma_tpu.losses.crd import CRDMemory
+
+        v1, v2 = ref["crd_banks"]
+        extra = CRDMemory(
+            v1=jnp.asarray(v1), v2=jnp.asarray(v2),
+            z_v1=jnp.asarray(-1.0), z_v2=jnp.asarray(-1.0),
         )
 
     tx = make_sgd(LR, momentum=0.0, weight_decay=0.0)
@@ -196,9 +369,7 @@ def _build_ours(method, ref, images_np, labels_np):
                      "aux": conv_aux["batch_stats"]},
         teacher_params=conv_t["params"],
         teacher_batch_stats=conv_t["batch_stats"],
-        opt_state=tx.init(params), extra=distiller.init_extra(
-            jax.random.fold_in(rng, 3)
-        ), tx=tx,
+        opt_state=tx.init(params), extra=extra, tx=tx,
         apply_fn=student.apply, teacher_apply_fn=teacher.apply,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
@@ -210,6 +381,13 @@ def _build_ours(method, ref, images_np, labels_np):
         "label": jax.device_put(labels_np.astype(np.int32),
                                 data_sharding(mesh, ndim=1)),
     }
+    if method == "crd":
+        index, contrast_idx = _crd_indices()
+        batch["index"] = jax.device_put(index.astype(np.int32),
+                                        data_sharding(mesh, ndim=1))
+        batch["contrast_idx"] = jax.device_put(
+            contrast_idx.astype(np.int32), data_sharding(mesh, ndim=2)
+        )
     new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(7))
     return state, new_state, metrics, conv_s, conv_aux
 
@@ -250,16 +428,18 @@ def test_distill_step_parity(method):
     got = dict(jax.tree_util.tree_leaves_with_path(
         derived_grads(state.params["student"], new_state.params["student"])
     ))
+    rtol_g, atol_g = GRAD_TOL.get(method, (5e-3, 3e-5))
     flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
     assert len(flat_ref) > 10
     for path, want in flat_ref:
         np.testing.assert_allclose(
-            got[path], want, rtol=5e-3, atol=3e-5, err_msg=f"student{path}"
+            got[path], want, rtol=rtol_g, atol=atol_g,
+            err_msg=f"student{path}"
         )
 
     if ref["grads_aux"] is not None:
-        ref_ga = convert_state_dict(
-            ref["grads_aux"],
+        ref_ga = convert_aux(
+            method, ref["grads_aux"],
             {"params": conv_aux["params"],
              "batch_stats": conv_aux["batch_stats"]},
         )["params"]
@@ -268,5 +448,19 @@ def test_distill_step_parity(method):
         ))
         for path, want in jax.tree_util.tree_leaves_with_path(ref_ga):
             np.testing.assert_allclose(
-                got_a[path], want, rtol=5e-3, atol=3e-5, err_msg=f"aux{path}"
+                got_a[path], want, rtol=rtol_g, atol=atol_g,
+                err_msg=f"aux{path}"
             )
+
+    if method == "crd":
+        # memory banks must advance identically (rows at idx updated with
+        # momentum + renormalization, lazy Z set on first batch)
+        index, _ = _crd_indices()
+        post_v1, post_v2 = ref["crd_post_banks"]
+        np.testing.assert_allclose(
+            np.asarray(new_state.extra.v1)[index], post_v1[index], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state.extra.v2)[index], post_v2[index], rtol=1e-4
+        )
+        assert float(new_state.extra.z_v1) > 0
