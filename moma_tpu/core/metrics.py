@@ -67,9 +67,13 @@ def confusion_matrix(
 def macro_f1(conf_mat: np.ndarray) -> float:
     """Macro F1 from a confusion matrix [true, pred].
 
-    Parity with the reference's inline computation (train_teacher.py:281-290):
-    per-class f1 = 2*TP / (2*TP + FP + FN), classes with zero denominator
-    counted as 0, mean over classes.
+    Parity with the reference's inline computation: per-class
+    f1 = 2*TP / (2*TP + FP + FN), classes with zero denominator counted
+    as 0, MEAN over classes (train_student_moma.py:522-531, which divides
+    by n_cls).  NOTE the reference is internally inconsistent — its
+    teacher script's copy (train_teacher.py:281-290) forgets the division
+    and reports the per-class SUM; best-F1 checkpoint selection is
+    unaffected (argmax-equivalent), so we use the correct mean everywhere.
     """
     cm = np.asarray(conf_mat, dtype=np.float64)
     tp = np.diag(cm)
