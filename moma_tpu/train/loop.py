@@ -18,6 +18,10 @@ from moma_tpu.core.mesh import data_sharding
 from moma_tpu.core.metrics import EvalAccumulator, Meter
 
 
+class NonFiniteLossError(RuntimeError):
+    """Raised by train_one_epoch when a sync point sees NaN/Inf loss."""
+
+
 def shard_batch(batch: dict, mesh) -> dict:
     """device_put each array with its batch-sharded NamedSharding."""
     out = {}
@@ -57,6 +61,14 @@ def train_one_epoch(
         if (i + 1) % print_freq == 0 or (i + 1) == len(loader):
             for k in ("loss", "acc1", "acc5"):
                 meters[k].update(float(metrics[k]), bs)
+            if not np.isfinite(meters["loss"].val):
+                # failure detection (absent in the reference, SURVEY §5):
+                # a non-finite loss poisons every later step — stop here
+                # so the runner can checkpoint the last finite state
+                raise NonFiniteLossError(
+                    f"non-finite loss {meters['loss'].val} at epoch {epoch} "
+                    f"step {i + 1}"
+                )
             if log_fn is not None:
                 log_fn(
                     step=int(jax.device_get(state.step)),

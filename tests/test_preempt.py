@@ -124,3 +124,46 @@ def test_runner_preempt_checkpoint_and_resume(tmp_path):
     state, result = run_teacher(cfg, synthetic=True)
     assert result.get("preempted") is None
     assert result["best_acc"] >= 0
+
+
+def test_nan_guard_raises():
+    """Failure detection: a NaN loss at a sync point aborts the epoch with
+    NonFiniteLossError instead of silently training on poisoned state."""
+    import jax
+    import jax.numpy as jnp
+
+    from moma_tpu.core.mesh import create_mesh, replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.augment import cifar_train_augment
+    from moma_tpu.data.pipeline import Loader, synthetic_dataset
+    from moma_tpu.models import create_model
+    from moma_tpu.train.loop import NonFiniteLossError, train_one_epoch
+    from moma_tpu.train.state import TrainState, make_sgd
+    from moma_tpu.train.steps import make_vanilla_train_step
+
+    mesh = create_mesh()
+    model = create_model("resnet8", num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    tx = make_sgd(lr_schedule(0.05, 1, 8), 0.9, 5e-4)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    ds = synthetic_dataset(32, 32, 10, seed=0)
+    loader = Loader(ds, 8, train=True, seed=0)
+    inner = make_vanilla_train_step(augment_fn=cifar_train_augment)
+
+    def poisoned(state, batch, rng):
+        state, metrics = inner(state, batch, rng)
+        metrics = dict(metrics)
+        metrics["loss"] = metrics["loss"] * jnp.nan
+        return state, metrics
+
+    import pytest as _pytest
+
+    with _pytest.raises(NonFiniteLossError):
+        train_one_epoch(state, loader, poisoned, mesh, 1,
+                        jax.random.PRNGKey(1), print_freq=1)
