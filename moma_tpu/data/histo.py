@@ -35,6 +35,11 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+# native decode chunk budget (bytes of decoded pixels per batch); keeps
+# pack builds at bounded host RSS no matter the split size
+DECODE_CHUNK_BYTES = 256 * 1024 * 1024
+
+
 class PackedCache:
     """Packed uint8 NHWC cache: <name>.bin (memmap) + <name>.json meta."""
 
@@ -73,16 +78,22 @@ class PackedCache:
 
         # Native path first: C++ libjpeg decode + PIL-parity resize pool
         # (data/native/decoder.cpp); rows it can't handle (PNG, corrupt)
-        # fall back to PIL below.
+        # fall back to PIL below.  Decoded in CHUNKS straight into the
+        # memmap — a 50k x 512^2 split is ~39 GB, far beyond host RAM.
         from moma_tpu.data import native as _native
 
         todo = list(range(n))
-        paths = [pairs[i][0] for i in todo]
-        res = _native.decode_files(paths, size, threads=workers)
-        if res is not None:
-            images, failed = res
-            mm[:] = images
-            todo = [i for i in todo if failed[i]]
+        if _native.get_decoder_lib() is not None:
+            chunk = max(1, DECODE_CHUNK_BYTES // (size * size * 3))
+            todo = []
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                images, failed = _native.decode_files(
+                    [pairs[i][0] for i in range(lo, hi)], size,
+                    threads=workers,
+                )
+                mm[lo:hi] = images
+                todo.extend(lo + j for j in np.nonzero(failed)[0])
 
         def work(i):
             mm[i] = _decode_resize(pairs[i][0], size)

@@ -461,54 +461,94 @@ def run_moma(cfg: Config, synthetic: bool = False):
     )
     eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
 
+    def full_state(st):
+        """Checkpointable FULL state — including the EmaTec momentum
+        encoder in cross-arch mode (a resume without it would restart the
+        key encoder from epoch 0 against late-training params)."""
+        d = {
+            "params": st.params, "batch_stats": st.batch_stats,
+            "teacher_params": st.teacher_params,
+            "teacher_batch_stats": st.teacher_batch_stats,
+            "queue": st.queue, "opt_state": st.opt_state,
+            "step": st.step,
+        }
+        if cross_arch:
+            d["ema_params"] = st.ema_params
+            d["ema_batch_stats"] = st.ema_batch_stats
+        return d
+
     best_acc, best_f1 = -1.0, -1.0
     t_start = time.time()
     start_epoch = 1
     if cfg.run.resume and ckpt.exists("latest"):
-        restorable = {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "teacher_params": state.teacher_params,
-            "teacher_batch_stats": state.teacher_batch_stats,
-            "queue": state.queue, "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        restored = ckpt.restore("latest", restorable)
+        restored = ckpt.restore("latest", full_state(state))
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"[resume] from epoch {start_epoch}")
+        # best-metric thresholds survive the restart (else the first
+        # post-resume epoch would overwrite the real best checkpoints)
+        for tag, var in (("best_acc", "val_acc"), ("best_f1", "val_f1")):
+            m = ckpt.meta(tag)
+            if m is not None:
+                if tag == "best_acc":
+                    best_acc = float(m.get(var, -1.0))
+                else:
+                    best_f1 = float(m.get(var, -1.0))
+        print(f"[resume] from epoch {start_epoch} "
+              f"(best_acc={best_acc:.2f}, best_f1={best_f1:.4f})")
 
     from moma_tpu.core.preempt import GracefulStop
 
-    # handlers stay installed for the rest of the process (runner-scoped)
-    stop_guard = GracefulStop().__enter__()
-    for epoch in range(start_epoch, cfg.run.epochs + 1):
-        if cfg.run.profile_dir and epoch == start_epoch:
-            from moma_tpu.core.profiling import trace
+    stop_guard = GracefulStop()
+    stop_guard.__enter__()
+    try:
+        return _epoch_loop_moma(
+            cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
+            train_loader, val_loader, test_loader, train_rng, mesh, n_cls,
+            start_epoch, best_acc, best_f1, t_start, run_dir, full_state,
+        )
+    finally:
+        # restore prior handlers so a later Ctrl-C/SIGTERM in this process
+        # is not swallowed by a dead flag
+        stop_guard.__exit__()
 
-            with trace(cfg.run.profile_dir):
+
+def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
+                     train_loader, val_loader, test_loader, train_rng, mesh,
+                     n_cls, start_epoch, best_acc, best_f1, t_start, run_dir,
+                     full_state):
+    from moma_tpu.train.loop import NonFiniteLossError
+
+    for epoch in range(start_epoch, cfg.run.epochs + 1):
+        try:
+            if cfg.run.profile_dir and epoch == start_epoch:
+                from moma_tpu.core.profiling import trace
+
+                with trace(cfg.run.profile_dir):
+                    state, tr = train_one_epoch(
+                        state, train_loader, step_fn, mesh, epoch, train_rng,
+                        print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                        stop=stop_guard,
+                    )
+            else:
                 state, tr = train_one_epoch(
                     state, train_loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
                     stop=stop_guard,
                 )
-        else:
-            state, tr = train_one_epoch(
-                state, train_loader, step_fn, mesh, epoch, train_rng,
-                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                stop=stop_guard,
-            )
+        except NonFiniteLossError as e:
+            # failure detection: exit cleanly; 'latest' (end of the last
+            # finite epoch) is the resume point
+            print(f"[nan-guard] {e}; stopping — resume from the last "
+                  f"epoch-end checkpoint (epoch {epoch - 1})")
+            stats.update_epoch(epoch, {"nan_aborted": True})
+            return state, {"best_acc": best_acc, "best_f1": best_f1,
+                           "run_dir": run_dir, "nan_aborted": True}
         if stop_guard.stopping:
-            # preemption: persist FULL state (queue + EMA teacher included);
-            # --resume redoes this epoch
-            save_state = {
-                "params": state.params, "batch_stats": state.batch_stats,
-                "teacher_params": state.teacher_params,
-                "teacher_batch_stats": state.teacher_batch_stats,
-                "queue": state.queue, "opt_state": state.opt_state,
-                "step": state.step,
-            }
-            ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
+            # preemption: persist FULL state (queue + EMA teacher + EmaTec
+            # momentum encoder); --resume redoes this epoch
+            ckpt.save("latest", full_state(state),
+                      {"epoch": epoch - 1, "preempted": True})
             print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
             return state, {"best_acc": best_acc, "best_f1": best_f1,
                            "run_dir": run_dir, "preempted": True}
@@ -531,13 +571,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
             f"epoch {epoch}: loss {tr['loss']:.4f} acc {tr['acc1']:.2f} | "
             f"val acc {val['acc']:.2f} f1 {val['f1']:.4f} | {tr['ips']:.1f} img/s"
         )
-        save_state = {
-            "params": state.params, "batch_stats": state.batch_stats,
-            "teacher_params": state.teacher_params,
-            "teacher_batch_stats": state.teacher_batch_stats,
-            "queue": state.queue, "opt_state": state.opt_state,
-            "step": state.step,
-        }
+        save_state = full_state(state)
         meta = {"epoch": epoch, **row}
         ckpt.save("latest", save_state, meta)
         if val["acc"] > best_acc:

@@ -126,6 +126,7 @@ def run_student(cfg: Config, synthetic: bool = False):
     state = jax.device_put(state, replicated_sharding(mesh))
 
     start_epoch = 1
+    resumed_best_acc = resumed_best_f1 = -1.0
     if cfg.run.resume and ckpt.exists("latest"):
         restorable = {"params": state.params, "batch_stats": state.batch_stats,
                       "opt_state": state.opt_state, "step": state.step}
@@ -135,7 +136,15 @@ def run_student(cfg: Config, synthetic: bool = False):
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"[resume] from epoch {start_epoch}")
+        # best thresholds survive the restart — else the first post-resume
+        # epoch overwrites the real best_acc/best_f1 checkpoints
+        m_acc, m_f1 = ckpt.meta("best_acc"), ckpt.meta("best_f1")
+        if m_acc is not None:
+            resumed_best_acc = float(m_acc.get("val_acc", -1.0))
+        if m_f1 is not None:
+            resumed_best_f1 = float(m_f1.get("val_f1", -1.0))
+        print(f"[resume] from epoch {start_epoch} "
+              f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate)
@@ -176,27 +185,53 @@ def run_student(cfg: Config, synthetic: bool = False):
     loader = _SampledLoader(train_loader)
 
     from moma_tpu.core.preempt import GracefulStop
+    from moma_tpu.train.loop import NonFiniteLossError
 
-    best_acc, best_f1 = -1.0, -1.0
+    best_acc, best_f1 = resumed_best_acc, resumed_best_f1
     t_start = time.time()
-    # handlers stay installed for the rest of the process (runner-scoped)
-    stop_guard = GracefulStop().__enter__()
-    for epoch in range(start_epoch, cfg.run.epochs + 1):
-        if cfg.run.profile_dir and epoch == start_epoch:
-            from moma_tpu.core.profiling import trace
+    stop_guard = GracefulStop()
+    stop_guard.__enter__()
+    try:
+        return _epoch_loop_student(
+            cfg, state, stats, ckpt, stop_guard, step_fn, eval_step, loader,
+            val_loader, test_loader, train_rng, mesh, n_cls, start_epoch,
+            best_acc, best_f1, t_start, run_dir, simkd_eval,
+        )
+    finally:
+        # restore prior handlers so later signals in this process are not
+        # swallowed by a dead flag
+        stop_guard.__exit__()
 
-            with trace(cfg.run.profile_dir):
+
+def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
+                        eval_step, loader, val_loader, test_loader, train_rng,
+                        mesh, n_cls, start_epoch, best_acc, best_f1, t_start,
+                        run_dir, simkd_eval):
+    from moma_tpu.train.loop import NonFiniteLossError
+
+    for epoch in range(start_epoch, cfg.run.epochs + 1):
+        try:
+            if cfg.run.profile_dir and epoch == start_epoch:
+                from moma_tpu.core.profiling import trace
+
+                with trace(cfg.run.profile_dir):
+                    state, tr = train_one_epoch(
+                        state, loader, step_fn, mesh, epoch, train_rng,
+                        print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                        stop=stop_guard,
+                    )
+            else:
                 state, tr = train_one_epoch(
                     state, loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
                     stop=stop_guard,
                 )
-        else:
-            state, tr = train_one_epoch(
-                state, loader, step_fn, mesh, epoch, train_rng,
-                print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                stop=stop_guard,
-            )
+        except NonFiniteLossError as e:
+            print(f"[nan-guard] {e}; stopping — resume from the last "
+                  f"epoch-end checkpoint (epoch {epoch - 1})")
+            stats.update_epoch(epoch, {"nan_aborted": True})
+            return state, {"best_acc": best_acc, "best_f1": best_f1,
+                           "run_dir": run_dir, "nan_aborted": True}
         if stop_guard.stopping:
             save_state = {
                 "params": state.params, "batch_stats": state.batch_stats,

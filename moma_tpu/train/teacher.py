@@ -120,6 +120,7 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     state = jax.device_put(state, replicated_sharding(mesh))
 
     start_epoch = 1
+    resumed_best_acc = resumed_best_f1 = -1.0
     if cfg.run.resume and ckpt.exists("latest"):
         restorable = {"params": state.params, "batch_stats": state.batch_stats,
                       "opt_state": state.opt_state, "step": state.step}
@@ -127,33 +128,51 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"[resume] from epoch {start_epoch}")
+        # best thresholds survive the restart — else the first post-resume
+        # epoch overwrites the real best_acc/best_f1 checkpoints
+        m_acc, m_f1 = ckpt.meta("best_acc"), ckpt.meta("best_f1")
+        if m_acc is not None:
+            resumed_best_acc = float(m_acc.get("val_acc", -1.0))
+        if m_f1 is not None:
+            resumed_best_f1 = float(m_f1.get("val_f1", -1.0))
+        print(f"[resume] from epoch {start_epoch} "
+              f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate)
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=eval_norm)
 
     from moma_tpu.core.preempt import GracefulStop
+    from moma_tpu.train.loop import NonFiniteLossError
 
-    best_acc, best_f1 = -1.0, -1.0
+    best_acc, best_f1 = resumed_best_acc, resumed_best_f1
     t_start = time.time()
     with GracefulStop() as stop_guard:
         for epoch in range(start_epoch, cfg.run.epochs + 1):
-            if cfg.run.profile_dir and epoch == start_epoch:
-                from moma_tpu.core.profiling import trace
+            try:
+                if cfg.run.profile_dir and epoch == start_epoch:
+                    from moma_tpu.core.profiling import trace
 
-                with trace(cfg.run.profile_dir):
+                    with trace(cfg.run.profile_dir):
+                        state, tr = train_one_epoch(
+                            state, train_loader, step_fn, mesh, epoch, train_rng,
+                            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
+                            stop=stop_guard,
+                        )
+                else:
                     state, tr = train_one_epoch(
                         state, train_loader, step_fn, mesh, epoch, train_rng,
                         print_freq=cfg.run.print_freq, log_fn=stats.scalar,
                         stop=stop_guard,
                     )
-            else:
-                state, tr = train_one_epoch(
-                    state, train_loader, step_fn, mesh, epoch, train_rng,
-                    print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                    stop=stop_guard,
-                )
+            except NonFiniteLossError as e:
+                # failure detection: exit cleanly; 'latest' (end of the
+                # last finite epoch) is the resume point
+                print(f"[nan-guard] {e}; stopping — resume from the last "
+                      f"epoch-end checkpoint (epoch {epoch - 1})")
+                stats.update_epoch(epoch, {"nan_aborted": True})
+                return state, {"best_acc": best_acc, "best_f1": best_f1,
+                               "run_dir": run_dir, "nan_aborted": True}
             if stop_guard.stopping:
                 # preemption: persist full state; --resume redoes this epoch
                 save_state = {"params": state.params, "batch_stats": state.batch_stats,

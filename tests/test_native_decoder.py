@@ -136,3 +136,25 @@ def test_packed_cache_uses_native(tmp_path, monkeypatch):
         ref = np.asarray(
             Image.open(path).convert("RGB").resize((64, 64), Image.BILINEAR))
         assert np.abs(ds.images[i].astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_packed_cache_chunked_decode(tmp_path, monkeypatch):
+    """Pack builds must decode in bounded chunks (a real split would not
+    fit in host RAM whole): force a tiny chunk budget and verify identical
+    output incl. PIL-fallback rows interleaved across chunks."""
+    from moma_tpu.data import histo as H
+
+    monkeypatch.setattr(H, "DECODE_CHUNK_BYTES", 2 * 64 * 64 * 3)  # 2 rows
+    rs = np.random.RandomState(7)
+    pairs = []
+    for i in range(7):
+        ext = "png" if i in (1, 5) else "jpg"  # fallbacks in two chunks
+        p = str(tmp_path / f"c{i}.{ext}")
+        Image.fromarray(_rand_img(rs, 72, 72)).save(p)
+        pairs.append((p, i % 3))
+    ds = H.PackedCache(str(tmp_path / "cache")).build_or_open(pairs, 64)
+    assert ds.images.shape == (7, 64, 64, 3)
+    for i, (path, _) in enumerate(pairs):
+        ref = np.asarray(
+            Image.open(path).convert("RGB").resize((64, 64), Image.BILINEAR))
+        assert np.abs(ds.images[i].astype(int) - ref.astype(int)).max() <= 2, i
