@@ -209,6 +209,23 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a TensorBoard/XProf device trace of epoch 1")
+    p.add_argument("--n_cls", type=int, default=0,
+                   help="override class count (reference --n_cls; 0 = derive "
+                        "from the dataset table)")
+    # reference-compatibility no-ops: accepted so the reference's command
+    # lines run unchanged (their roles are N/A on TPU / always-on here)
+    for flag, why in (
+        ("--gpu_id", "CUDA device list (N/A: TPU mesh)"),
+        ("--dali", "DALI pipeline choice (replaced by the native loader)"),
+        ("--deterministic", "cudnn determinism (JAX is deterministic)"),
+        ("--skip_validation", "pre-flight teacher eval toggle"),
+        ("--weight", "dead flag in the reference (never read)"),
+        ("--dist-url", "NCCL rendezvous (N/A: single-process mesh)"),
+        ("--dist-backend", "NCCL backend (N/A)"),
+        ("--multiprocessing-distributed", "mp.spawn mode (N/A)"),
+    ):
+        p.add_argument(flag, nargs="?", const=True, default=None,
+                       help=f"accepted for reference compatibility, ignored: {why}")
 
 
 def _cfg_from_common(a) -> Config:
@@ -254,9 +271,16 @@ def parse_teacher_args(argv=None) -> Config:
     p.add_argument("--model", type=str, default="resnet20")
     p.add_argument("--pretrain", type=str, default=None)
     p.add_argument("--not_strict", action="store_true")
+    p.add_argument("--pre_strict", action="store_false", dest="pre_strict",
+                   help="reference alias of strict pretrained loading "
+                        "(train_teacher.py:67; passing it disables strict)")
     a = p.parse_args(argv)
     cfg = _cfg_from_common(a)
-    cfg.model_s = ModelConfig(name=a.model, pretrain=a.pretrain, strict=not a.not_strict)
+    cfg.model_s = ModelConfig(
+        name=a.model, pretrain=a.pretrain,
+        strict=(not a.not_strict) and a.pre_strict,
+        n_cls=a.n_cls or ModelConfig.n_cls,
+    )
     return cfg.finalize()
 
 
@@ -300,7 +324,9 @@ def parse_student_args(argv=None) -> Config:
                         "(1 teacher fwd instead of 2; documented deviation)")
     a = p.parse_args(argv)
     cfg = _cfg_from_common(a)
-    cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre, strict=a.std_strict)
+    cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre,
+                              strict=a.std_strict,
+                              n_cls=a.n_cls or ModelConfig.n_cls)
     cfg.model_t = ModelConfig(
         name=a.model_t, pretrain=a.path_t or a.tec_pre, strict=a.tec_strict
     )

@@ -94,3 +94,29 @@ def test_data_sharding_places_batch(mesh8):
     y = jax.device_put(x, data_sharding(mesh8, ndim=4))
     assert len(y.addressable_shards) == 8
     assert y.addressable_shards[0].data.shape == (2, 4, 4, 3)
+
+
+def test_reference_command_lines_parse():
+    """Drop-in flag compatibility: the reference's own command lines (incl.
+    run_moma.sh's flags and the env/distributed flags that are N/A on TPU)
+    must parse unchanged."""
+    from moma_tpu.core.config import parse_student_args, parse_teacher_args
+
+    cfg = parse_teacher_args(
+        "--model effiB0 --dataset prostate_hv --n_cls 4 --gpu_id 0,1 "
+        "--dali gpu --deterministic --skip_validation --batch_size 64 "
+        "--image_size 512 --cosine --epochs 50 --learning_rate 0.05".split()
+    )
+    assert cfg.model_s.name == "effiB0" and cfg.model_s.n_cls == 4
+
+    # scripts/run_moma.sh flags (with the reference's 'cmo' method name)
+    cfg = parse_student_args(
+        "--model_s effiB0 --model_t effiB0 --distill cmo -c1 -d1 -b1 "
+        "--feat_dim 512 --head mlp --attn self --std_pre PANDA "
+        "--tec_pre PANDA --n_cls 4 --dataset custom --gpu_id 0,1 "
+        "--multiprocessing-distributed "
+        "--dist-url tcp://127.0.0.1:23451".split()
+    )
+    assert cfg.distill.distill == "moma"        # cmo alias resolved
+    assert cfg.moma.nce_t == 0.15               # forced for moma
+    assert cfg.model_s.n_cls == cfg.model_t.n_cls == 4
