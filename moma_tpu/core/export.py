@@ -1,0 +1,91 @@
+"""Model export for serving — jax.export (StableHLO) serialization.
+
+The reference has no deployment story beyond loading torch checkpoints in
+Python (`test.py`).  Production serving on TPU wants a self-contained,
+Python-model-free artifact: this module serializes the jitted eval
+forward (normalize -> backbone -> logits) with a SYMBOLIC batch
+dimension, so one artifact serves any batch size, and reloads it without
+the model zoo (only jax + the .stablehlo bytes).
+
+Format: <path>.stablehlo (serialized jax.export blob) + <path>.json meta
+(model name, image size, class count, normalization constants).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jex
+
+
+def export_classifier(
+    apply_fn: Callable,
+    variables: dict,
+    image_size: int,
+    path: str,
+    normalize: Optional[Callable] = None,
+    meta: Optional[dict] = None,
+) -> str:
+    """Serialize `logits = apply_fn(variables, normalize(uint8 images))`.
+
+    The weights are BAKED into the artifact (closure capture -> constants)
+    and the batch dimension is symbolic.  Returns the .stablehlo path.
+    """
+
+    def predict(images):  # (B, H, W, 3) uint8
+        x = images.astype(jnp.float32)
+        if normalize is not None:
+            x = normalize(x)
+        out = apply_fn(variables, x, train=False)
+        # backbones return (feats, logits)
+        logits = out[1] if isinstance(out, tuple) else out
+        return logits.astype(jnp.float32)
+
+    (b,) = jex.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, image_size, image_size, 3), jnp.uint8)
+    exp = jex.export(jax.jit(predict))(spec)
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    hlo_path = path if path.endswith(".stablehlo") else path + ".stablehlo"
+    with open(hlo_path, "wb") as f:
+        f.write(blob)
+    with open(hlo_path[: -len(".stablehlo")] + ".json", "w") as f:
+        json.dump({"image_size": image_size, **(meta or {})}, f, indent=2)
+    return hlo_path
+
+
+class ExportedClassifier:
+    """Reloaded serving artifact: `logits = clf(uint8_images)`; no model
+    zoo or checkpoint code needed, any batch size."""
+
+    def __init__(self, path: str):
+        hlo_path = path if path.endswith(".stablehlo") else path + ".stablehlo"
+        with open(hlo_path, "rb") as f:
+            self._exp = jex.deserialize(f.read())
+        meta_path = hlo_path[: -len(".stablehlo")] + ".json"
+        self.meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.meta = json.load(f)
+
+    def __call__(self, images) -> jax.Array:
+        images = jnp.asarray(images, jnp.uint8)
+        return self._exp.call(images)
+
+    def predict(self, images, batch_size: int = 0) -> np.ndarray:
+        """Host-side convenience: optional micro-batching + argmax."""
+        images = np.asarray(images, np.uint8)
+        if batch_size and images.shape[0] > batch_size:
+            parts = [
+                np.asarray(self(images[i : i + batch_size]))
+                for i in range(0, images.shape[0], batch_size)
+            ]
+            logits = np.concatenate(parts, axis=0)
+        else:
+            logits = np.asarray(self(images))
+        return logits.argmax(axis=-1)
