@@ -107,6 +107,13 @@ class MomaConfig:
     attn: str = "self"  # self|self_mix|all|qk|dual|dual2|self_qk|self_qkv2|selfv2|none
     mode: str = "exact"  # CRD positive mode: exact | relax
     shuffle_bn: bool = True
+    # BN mode of the teacher's KL-logits forward.  The reference's
+    # set_bn_train(model_t) PERSISTS across steps (loops_moma.py:314-318;
+    # nothing resets it within the training phase), so from step 2 onward
+    # its KL forward runs with batch statistics — 'train' reproduces that
+    # steady state (default).  'eval' uses running stats (the reference's
+    # step-1-only behavior, a cleaner fixed-scorer semantics).
+    kl_teacher_bn: str = "train"
     # opt-in deviation: reuse the momentum key forward's logits for the
     # KL term instead of a second teacher forward (~25% faster steps;
     # KL then sees post-EMA params + train-mode BN)
@@ -319,6 +326,11 @@ def parse_student_args(argv=None) -> Config:
     )
     p.add_argument("--attn", type=str, default="self")
     p.add_argument("--no_shuffle_bn", action="store_true")
+    p.add_argument("--kl_teacher_bn", type=str, default="train",
+                   choices=["train", "eval"],
+                   help="BN mode of the teacher's KL forward: 'train' = the "
+                        "reference's steady state (set_bn_train persists), "
+                        "'eval' = running stats (its step-1-only behavior)")
     p.add_argument("--fast_teacher", action="store_true",
                    help="reuse the momentum key forward for KL logits "
                         "(1 teacher fwd instead of 2; documented deviation)")
@@ -338,5 +350,6 @@ def parse_student_args(argv=None) -> Config:
         feat_dim=a.feat_dim, nce_k=a.nce_k, nce_t=a.nce_t, nce_m=a.nce_m,
         alpha=a.alpha, mem=a.mem, head=a.head, attn=a.attn, mode=a.mode,
         shuffle_bn=not a.no_shuffle_bn, fast_teacher=a.fast_teacher,
+        kl_teacher_bn=a.kl_teacher_bn,
     )
     return cfg.finalize()

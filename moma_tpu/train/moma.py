@@ -6,7 +6,12 @@ explicit state transitions.  Per-step ordering (parity-critical,
 SURVEY.md §7 hard part 1):
 
   1. student fwd (train)                      -> feat_s, logit_s
-  2. teacher fwd (eval, PRE-EMA params)       -> feat_t, logit_t  [KL uses these]
+  2. teacher fwd (PRE-EMA params)             -> feat_t, logit_t  [KL uses these]
+     BN mode per cfg.moma.kl_teacher_bn: 'train' (default) = the
+     reference's steady state (set_bn_train persists across steps, so
+     from step 2 its KL forward uses batch stats and mutates running
+     stats before the key forward); 'eval' = running stats (the
+     reference's step-1-only behavior)
   3. EMA: teacher <- alpha*teacher + (1-alpha)*student    (loops:310)
      and embed_t <- EMA(embed_s) when head=='mlp'         (loops:312-315)
   4. key forward through the POST-EMA teacher with BN in TRAIN mode
@@ -109,12 +114,74 @@ def make_moma_train_step(
     )
     ft_variant = "b" + cfg.model_t.name[len("effiB"):] if use_fused_teacher else None
 
+    kl_train_bn = getattr(cfg.moma, "kl_teacher_bn", "train") == "train"
+
     def step(state: MomaState, batch, rng):
         images = batch["image"]
         if augment_fn is not None:
             rng, k_aug = jax.random.split(rng)
             images = augment_fn(images, k_aug)
         labels = batch["label"]
+
+        # ---- teacher KL forward FIRST (pre-EMA params, loops:268-272).
+        # kl_teacher_bn='train' (default) reproduces the reference's
+        # steady state: set_bn_train(model_t) persists across steps
+        # (loops:314-318), so its KL forward runs with batch statistics
+        # from step 2 on, and its stats mutation lands BEFORE the key
+        # forward's.  'eval' = running stats (reference step-1 behavior).
+        # cross-arch: the FIXED teacher stays a frozen eval-mode scorer.
+        teacher_bs_kl = state.teacher_batch_stats
+        feat_t = logit_t = None
+        if not fast_teacher:
+            if use_fused_teacher:
+                from moma_tpu.ops import fused_effnet as FE
+                from moma_tpu.ops.fused_effnet_pallas import fused_forward
+
+                fe_params_t, fe_specs_t = FE.extract_params(
+                    {
+                        "params": state.teacher_params,
+                        "batch_stats": state.teacher_batch_stats,
+                    },
+                    variant=ft_variant,
+                )
+                _pooled_t, logit_t, _coll = fused_forward(
+                    fe_params_t, fe_specs_t, images, train=kl_train_bn,
+                )
+                feat_t = (_pooled_t,)
+                if kl_train_bn:
+                    teacher_bs_kl = FE.updated_batch_stats(
+                        state.teacher_batch_stats, fe_specs_t, _coll
+                    )
+            elif cross_arch:
+                feat_t, logit_t = state.teacher_apply_fn(
+                    {
+                        "params": state.teacher_params,
+                        "batch_stats": state.teacher_batch_stats,
+                    },
+                    images,
+                    train=False,
+                )
+            elif kl_train_bn:
+                (feat_t, logit_t), t_mut = state.teacher_apply_fn(
+                    {
+                        "params": state.teacher_params,
+                        "batch_stats": state.teacher_batch_stats,
+                    },
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                teacher_bs_kl = t_mut.get("batch_stats", {})
+            else:
+                feat_t, logit_t = state.teacher_apply_fn(
+                    {
+                        "params": state.teacher_params,
+                        "batch_stats": state.teacher_batch_stats,
+                    },
+                    images,
+                    train=False,
+                )
+            logit_t = jax.lax.stop_gradient(logit_t)
 
         # ---- EMA (pre-step student params; reference order loops:310)
         cmo_params = dict(state.params["cmo"])
@@ -164,7 +231,7 @@ def make_moma_train_step(
             fe_params, fe_specs = FE.extract_params(
                 {
                     "params": new_momentum_params,
-                    "batch_stats": state.teacher_batch_stats,
+                    "batch_stats": teacher_bs_kl,
                 },
                 variant=ft_variant,
             )
@@ -173,13 +240,15 @@ def make_moma_train_step(
             )
             feat_key = (pooled_key,)
             new_momentum_bs = FE.updated_batch_stats(
-                state.teacher_batch_stats, fe_specs, collected
+                teacher_bs_kl, fe_specs, collected
             )
         else:
+            # stats chain from the KL forward's mutation (reference order:
+            # its train-mode KL fwd updates running stats before the keys)
             (feat_key, logit_key), m_mut = state.teacher_apply_fn(
                 {
                     "params": new_momentum_params,
-                    "batch_stats": state.teacher_batch_stats,
+                    "batch_stats": teacher_bs_kl,
                 },
                 key_images,
                 train=True,
@@ -198,39 +267,14 @@ def make_moma_train_step(
         k_emb = jax.lax.stop_gradient(k_emb)
         all_k = k_emb  # global batch == gathered keys (see module docstring)
 
-        # ---- teacher logits for KL: eval mode; PRE-EMA params in same-arch
-        # mode (loops:269-272), the fixed teacher in cross-arch mode.
         # fast_teacher (opt-in, same-arch only): reuse the key forward's
-        # logits instead — 1 teacher fwd/step instead of 2 (~25% faster);
+        # logits for KL — 1 teacher fwd/step instead of 2 (~25% faster);
         # KL then sees post-EMA params + train-mode BN (deviation).
         if fast_teacher and not cross_arch:
-            logit_t = logit_key[inv] if shuffle_bn else logit_key
+            logit_t = jax.lax.stop_gradient(
+                logit_key[inv] if shuffle_bn else logit_key
+            )
             feat_t = None
-        elif use_fused_teacher:
-            from moma_tpu.ops import fused_effnet as FE
-            from moma_tpu.ops.fused_effnet_pallas import fused_forward
-
-            fe_params_t, fe_specs_t = FE.extract_params(
-                {
-                    "params": state.teacher_params,
-                    "batch_stats": state.teacher_batch_stats,
-                },
-                variant=ft_variant,
-            )
-            _pooled_t, logit_t, _ = fused_forward(
-                fe_params_t, fe_specs_t, images, train=False,
-            )
-            feat_t = (_pooled_t,)
-        else:
-            feat_t, logit_t = state.teacher_apply_fn(
-                {
-                    "params": state.teacher_params,
-                    "batch_stats": state.teacher_batch_stats,
-                },
-                images,
-                train=False,
-            )
-        logit_t = jax.lax.stop_gradient(logit_t)
         kt_emb = None
         if cross_arch and mem in ("MoCoST", "MoCoSSTT"):
             # teacher-side keys for the dual bank (embed_t over the FIXED

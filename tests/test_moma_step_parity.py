@@ -196,7 +196,12 @@ def _build_ours(ref, images_np, labels_np, memory_np):
                                 beta=C_BETA, kd_T=KD_T)
     cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=T_NCE, alpha=ALPHA,
                           mem="MoCo", head="mlp", attn="self",
-                          shuffle_bn=False)
+                          shuffle_bn=False,
+                          # this harness pins STEP 1, where the reference's
+                          # teacher is still in eval mode (pre-flight
+                          # validation set it); steady-state train-mode KL
+                          # is pinned by the multi-step test below
+                          kl_teacher_bn="eval")
     cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
     cfg.model_t = ModelConfig(name="resnet8", n_cls=N_CLS)
 
