@@ -62,10 +62,10 @@ def main(argv=None):
         variables = load_pretrained_params(variables, ckpt_path, strict=True)
 
     if a.dataset == "cifar100" or a.image_size == 32:
-        norm = aug.cifar_eval_normalize
+        norm = aug.cifar_eval_normalize          # /255 applied for uint8
     else:
-        def norm(x):
-            return aug.normalize(x / 255.0, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
+        def norm(x):  # x uint8: normalize() divides by 255 itself
+            return aug.normalize(x, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
 
     path = export_classifier(
         model.apply, variables, a.image_size, a.out, normalize=norm,
@@ -81,8 +81,8 @@ def main(argv=None):
         rs = np.random.RandomState(0)
         x = rs.randint(0, 256, (3, a.image_size, a.image_size, 3), np.uint8)
         got = np.asarray(clf(x))
-        _, want = model.apply(variables, norm(jnp.asarray(x, jnp.float32)),
-                              train=False)
+        # training-eval pipeline: uint8 straight into the normalize fn
+        _, want = model.apply(variables, norm(jnp.asarray(x)), train=False)
         np.testing.assert_allclose(got, np.asarray(want, np.float32),
                                    rtol=1e-4, atol=1e-4)
         print(f"verify: reloaded artifact matches the live model "

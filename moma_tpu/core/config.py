@@ -286,9 +286,11 @@ def parse_teacher_args(argv=None) -> Config:
     cfg.model_s = ModelConfig(
         name=a.model, pretrain=a.pretrain,
         strict=(not a.not_strict) and a.pre_strict,
-        n_cls=a.n_cls or ModelConfig.n_cls,
     )
-    return cfg.finalize()
+    cfg = cfg.finalize()
+    if a.n_cls:  # explicit flag beats the dataset table (reference: models
+        cfg.model_s.n_cls = a.n_cls  # are always built with opt.n_cls)
+    return cfg
 
 
 def parse_student_args(argv=None) -> Config:
@@ -337,8 +339,7 @@ def parse_student_args(argv=None) -> Config:
     a = p.parse_args(argv)
     cfg = _cfg_from_common(a)
     cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre,
-                              strict=a.std_strict,
-                              n_cls=a.n_cls or ModelConfig.n_cls)
+                              strict=a.std_strict)
     cfg.model_t = ModelConfig(
         name=a.model_t, pretrain=a.path_t or a.tec_pre, strict=a.tec_strict
     )
@@ -352,4 +353,9 @@ def parse_student_args(argv=None) -> Config:
         shuffle_bn=not a.no_shuffle_bn, fast_teacher=a.fast_teacher,
         kl_teacher_bn=a.kl_teacher_bn,
     )
-    return cfg.finalize()
+    cfg = cfg.finalize()
+    if a.n_cls:  # explicit flag beats the dataset table (reference behavior)
+        cfg.model_s.n_cls = a.n_cls
+        if cfg.model_t is not None:
+            cfg.model_t.n_cls = a.n_cls
+    return cfg

@@ -38,9 +38,12 @@ def export_classifier(
     """
 
     def predict(images):  # (B, H, W, 3) uint8
-        x = images.astype(jnp.float32)
-        if normalize is not None:
-            x = normalize(x)
+        # pass the RAW uint8 through: normalize fns divide by 255 only for
+        # uint8 inputs (data/augment.py:29-31) — pre-casting to float32
+        # would silently skip the scaling and serve garbage logits
+        x = normalize(images) if normalize is not None else (
+            images.astype(jnp.float32)
+        )
         out = apply_fn(variables, x, train=False)
         # backbones return (feats, logits)
         logits = out[1] if isinstance(out, tuple) else out

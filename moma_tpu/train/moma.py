@@ -98,7 +98,13 @@ def make_moma_train_step(
     mem = cfg.moma.mem
     attn = cfg.moma.attn
     shuffle_bn = cfg.moma.shuffle_bn
-    fast_teacher = getattr(cfg.moma, "fast_teacher", False)
+    # fast_teacher reuses the momentum-ENCODER key forward's logits for
+    # KL; in cross-arch mode the KL teacher is a DIFFERENT model than the
+    # momentum encoder, so the reuse is meaningless — fall back to the
+    # real teacher forward instead of tracing with logit_t=None
+    fast_teacher = (
+        getattr(cfg.moma, "fast_teacher", False) and not cross_arch
+    )
 
     # recompute-style fused Pallas forward for the gradient-free teacher
     # passes (ops/fused_effnet.py).  Opt-in only: measured SLOWER than
@@ -270,7 +276,7 @@ def make_moma_train_step(
         # fast_teacher (opt-in, same-arch only): reuse the key forward's
         # logits for KL — 1 teacher fwd/step instead of 2 (~25% faster);
         # KL then sees post-EMA params + train-mode BN (deviation).
-        if fast_teacher and not cross_arch:
+        if fast_teacher:
             logit_t = jax.lax.stop_gradient(
                 logit_key[inv] if shuffle_bn else logit_key
             )
@@ -525,7 +531,19 @@ def run_moma(cfg: Config, synthetic: bool = False):
     t_start = time.time()
     start_epoch = 1
     if cfg.run.resume and ckpt.exists("latest"):
-        restored = ckpt.restore("latest", full_state(state))
+        try:
+            restored = ckpt.restore("latest", full_state(state))
+        except Exception:
+            if not cross_arch:
+                raise
+            # checkpoint written before ema_params were checkpointed:
+            # restore what exists; the momentum encoder restarts (warned)
+            template = {k: v for k, v in full_state(state).items()
+                        if not k.startswith("ema_")}
+            restored = ckpt.restore("latest", template)
+            print("[resume] WARNING: old cross-arch checkpoint without "
+                  "ema_params — the EmaTec momentum encoder restarts "
+                  "from the current student copy")
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
@@ -561,20 +579,19 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
                      train_loader, val_loader, test_loader, train_rng, mesh,
                      n_cls, start_epoch, best_acc, best_f1, t_start, run_dir,
                      full_state):
+    import contextlib
+
     from moma_tpu.train.loop import NonFiniteLossError
 
     for epoch in range(start_epoch, cfg.run.epochs + 1):
-        try:
-            if cfg.run.profile_dir and epoch == start_epoch:
-                from moma_tpu.core.profiling import trace
+        if cfg.run.profile_dir and epoch == start_epoch:
+            from moma_tpu.core.profiling import trace
 
-                with trace(cfg.run.profile_dir):
-                    state, tr = train_one_epoch(
-                        state, train_loader, step_fn, mesh, epoch, train_rng,
-                        print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                        stop=stop_guard,
-                    )
-            else:
+            ctx = trace(cfg.run.profile_dir)
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
                 state, tr = train_one_epoch(
                     state, train_loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,

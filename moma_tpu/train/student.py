@@ -185,7 +185,6 @@ def run_student(cfg: Config, synthetic: bool = False):
     loader = _SampledLoader(train_loader)
 
     from moma_tpu.core.preempt import GracefulStop
-    from moma_tpu.train.loop import NonFiniteLossError
 
     best_acc, best_f1 = resumed_best_acc, resumed_best_f1
     t_start = time.time()
@@ -207,20 +206,19 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
                         eval_step, loader, val_loader, test_loader, train_rng,
                         mesh, n_cls, start_epoch, best_acc, best_f1, t_start,
                         run_dir, simkd_eval):
+    import contextlib
+
     from moma_tpu.train.loop import NonFiniteLossError
 
     for epoch in range(start_epoch, cfg.run.epochs + 1):
-        try:
-            if cfg.run.profile_dir and epoch == start_epoch:
-                from moma_tpu.core.profiling import trace
+        if cfg.run.profile_dir and epoch == start_epoch:
+            from moma_tpu.core.profiling import trace
 
-                with trace(cfg.run.profile_dir):
-                    state, tr = train_one_epoch(
-                        state, loader, step_fn, mesh, epoch, train_rng,
-                        print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                        stop=stop_guard,
-                    )
-            else:
+            ctx = trace(cfg.run.profile_dir)
+        else:
+            ctx = contextlib.nullcontext()
+        try:
+            with ctx:
                 state, tr = train_one_epoch(
                     state, loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,

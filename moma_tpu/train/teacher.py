@@ -147,19 +147,18 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
 
     best_acc, best_f1 = resumed_best_acc, resumed_best_f1
     t_start = time.time()
+    import contextlib
+
     with GracefulStop() as stop_guard:
         for epoch in range(start_epoch, cfg.run.epochs + 1):
-            try:
-                if cfg.run.profile_dir and epoch == start_epoch:
-                    from moma_tpu.core.profiling import trace
+            if cfg.run.profile_dir and epoch == start_epoch:
+                from moma_tpu.core.profiling import trace
 
-                    with trace(cfg.run.profile_dir):
-                        state, tr = train_one_epoch(
-                            state, train_loader, step_fn, mesh, epoch, train_rng,
-                            print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                            stop=stop_guard,
-                        )
-                else:
+                ctx = trace(cfg.run.profile_dir)
+            else:
+                ctx = contextlib.nullcontext()
+            try:
+                with ctx:
                     state, tr = train_one_epoch(
                         state, train_loader, step_fn, mesh, epoch, train_rng,
                         print_freq=cfg.run.print_freq, log_fn=stats.scalar,

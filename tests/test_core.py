@@ -120,3 +120,17 @@ def test_reference_command_lines_parse():
     assert cfg.distill.distill == "moma"        # cmo alias resolved
     assert cfg.moma.nce_t == 0.15               # forced for moma
     assert cfg.model_s.n_cls == cfg.model_t.n_cls == 4
+
+
+def test_n_cls_flag_beats_dataset_table():
+    """Explicit --n_cls overrides the dataset map even for known datasets
+    (the reference builds its models from opt.n_cls unconditionally — its
+    dataset map is assigned to a dead local, train_student_moma.py:249-259)."""
+    from moma_tpu.core.config import parse_student_args, parse_teacher_args
+
+    cfg = parse_teacher_args(
+        "--model resnet8 --dataset prostate_hv --n_cls 2".split()
+    )
+    assert cfg.model_s.n_cls == 2
+    cfg = parse_teacher_args("--model resnet8 --dataset prostate_hv".split())
+    assert cfg.model_s.n_cls == 4  # table fallback without the flag

@@ -29,8 +29,10 @@ def test_export_round_trip_symbolic_batch(tmp_path):
     for b in (1, 5, 16):  # symbolic batch: one artifact, any batch size
         x = rs.randint(0, 256, (b, 32, 32, 3), np.uint8)
         got = np.asarray(clf(x))
+        # training-eval pipeline: raw uint8 into the normalize fn (it
+        # divides by 255 for uint8 — the artifact must match exactly this)
         _, want = model.apply(
-            variables, aug.cifar_eval_normalize(jnp.asarray(x, jnp.float32)),
+            variables, aug.cifar_eval_normalize(jnp.asarray(x)),
             train=False,
         )
         assert got.shape == (b, 10)

@@ -22,13 +22,14 @@ from moma_tpu.train.state import MomaState, make_sgd
 B, N_CLS, K, FEAT = 16, 10, 64, 32
 
 
-def _setup(mesh, mem="MoCo"):
+def _setup(mesh, mem="MoCo", fast_teacher=False):
     cfg = Config()
     cfg.data.dataset = "synthetic"
     cfg.data.batch_size = B
     cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
     cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=0.15, alpha=0.99,
-                          mem=mem, head="mlp", attn="self")
+                          mem=mem, head="mlp", attn="self",
+                          fast_teacher=fast_teacher)
     cfg.model_s.n_cls = N_CLS
 
     student = create_model("resnet8", num_classes=N_CLS)
@@ -110,3 +111,14 @@ def test_cross_arch_mocost_dual_banks(mesh8):
     ms = np.asarray(new_state.queue.memory["memory_s"])[:B]
     mt = np.asarray(new_state.queue.memory["memory_t"])[:B]
     assert np.abs(ms - mt).sum() > 1e-3
+
+
+def test_cross_arch_ignores_fast_teacher(mesh8):
+    """--fast_teacher reuses the momentum ENCODER's logits for KL, which is
+    meaningless when the KL teacher is a different architecture: cross-arch
+    mode must fall back to the real teacher forward (regression: this
+    combination used to trace with logit_t=None and crash)."""
+    cfg, state, step = _setup(mesh8, fast_teacher=True)
+    new_state, metrics = step(state, _batch(mesh8), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_div"]))
