@@ -61,7 +61,10 @@ def main(argv=None):
         ckpt_path = os.path.join(a.run, "ckpt", a.ckpt_tag)
         variables = load_pretrained_params(variables, ckpt_path, strict=True)
 
-    if a.dataset == "cifar100" or a.image_size == 32:
+    # mirror train/teacher.py augment_fns: normalization keys on the
+    # DATASET (cifar100 / synthetic@32 -> CIFAR stats), not the image
+    # size — a non-CIFAR 32px run trains with ImageNet stats
+    if a.dataset == "cifar100" or (a.dataset == "synthetic" and a.image_size == 32):
         norm = aug.cifar_eval_normalize          # /255 applied for uint8
     else:
         def norm(x):  # x uint8: normalize() divides by 255 itself

@@ -108,11 +108,14 @@ class MomaConfig:
     mode: str = "exact"  # CRD positive mode: exact | relax
     shuffle_bn: bool = True
     # BN mode of the teacher's KL-logits forward.  The reference's
-    # set_bn_train(model_t) PERSISTS across steps (loops_moma.py:314-318;
-    # nothing resets it within the training phase), so from step 2 onward
-    # its KL forward runs with batch statistics — 'train' reproduces that
-    # steady state (default).  'eval' uses running stats (the reference's
-    # step-1-only behavior, a cleaner fixed-scorer semantics).
+    # set_bn_train(model_t) persists WITHIN an epoch (loops_moma.py:314-318)
+    # but train_distill_moma resets model_t.eval() at the start of EVERY
+    # epoch (:224-227), so its KL forward uses running stats on the first
+    # step of each epoch and batch stats from step 2 on.  'train'
+    # (default) reproduces the steps>=2 steady state — a one-step-per-
+    # epoch deviation, numerically negligible (see PARITY.md).  'eval'
+    # uses running stats every step (the reference's step-1 behavior,
+    # a cleaner fixed-scorer semantics).
     kl_teacher_bn: str = "train"
     # opt-in deviation: reuse the momentum key forward's logits for the
     # KL term instead of a second teacher forward (~25% faster steps;
@@ -331,8 +334,9 @@ def parse_student_args(argv=None) -> Config:
     p.add_argument("--kl_teacher_bn", type=str, default="train",
                    choices=["train", "eval"],
                    help="BN mode of the teacher's KL forward: 'train' = the "
-                        "reference's steady state (set_bn_train persists), "
-                        "'eval' = running stats (its step-1-only behavior)")
+                        "reference's within-epoch steady state (set_bn_train "
+                        "persists until the per-epoch eval() reset), 'eval' = "
+                        "running stats (its first-step-of-each-epoch behavior)")
     p.add_argument("--fast_teacher", action="store_true",
                    help="reuse the momentum key forward for KL logits "
                         "(1 teacher fwd instead of 2; documented deviation)")

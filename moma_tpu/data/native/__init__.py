@@ -26,6 +26,46 @@ _lib = None
 _tried = False
 
 
+def _host_fingerprint() -> str:
+    """CPU identity for the -march=native artifact cache: a .so copied to
+    a host with different ISA extensions would SIGILL on load/use, which
+    silently disables the fallback path — rebuild instead."""
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _stale(so: str, src: str) -> bool:
+    """Rebuild when the .so is missing, older than its source, or built
+    on a CPU with a different feature set (-march=native artifact)."""
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        return True
+    tag = so + ".buildtag"
+    try:
+        with open(tag) as f:
+            return f.read().strip() != _host_fingerprint()
+    except OSError:
+        return True
+
+
+def _write_buildtag(so: str) -> None:
+    try:
+        with open(so + ".buildtag", "w") as f:
+            f.write(_host_fingerprint())
+    except OSError:
+        pass
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -33,6 +73,7 @@ def _build() -> bool:
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        _write_buildtag(_SO)
         return True
     except Exception:
         return False
@@ -44,7 +85,7 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if _stale(_SO, _SRC):
             if not _build():
                 return None
         try:
@@ -85,6 +126,7 @@ def _build_decoder() -> bool:
              "-o", _DEC_SO, _DEC_SRC, "-ljpeg"],
             check=True, capture_output=True, timeout=120,
         )
+        _write_buildtag(_DEC_SO)
         return True
     except Exception:
         return False
@@ -96,8 +138,7 @@ def get_decoder_lib():
         if _dec_lib is not None or _dec_tried:
             return _dec_lib
         _dec_tried = True
-        if (not os.path.exists(_DEC_SO)
-                or os.path.getmtime(_DEC_SO) < os.path.getmtime(_DEC_SRC)):
+        if _stale(_DEC_SO, _DEC_SRC):
             if not _build_decoder():
                 return None
         try:

@@ -27,7 +27,6 @@ def _torch_conv_init(key, shape, dtype=jnp.float32):
     """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±sqrt(1/fan_in))
     with fan_in = prod(kernel hw) * in_ch.  flax kernel shape (kh,kw,in,out)."""
     fan_in = int(np.prod(shape[:-1]))
-    bound = float(np.sqrt(1.0 / fan_in)) * np.sqrt(3.0) / np.sqrt(3.0)
     # kaiming_uniform(a=sqrt(5)): gain = sqrt(2/(1+5)) = 1/sqrt(3);
     # bound = gain * sqrt(3/fan_in) = sqrt(1/fan_in)
     bound = float(np.sqrt(1.0 / fan_in))

@@ -8,10 +8,13 @@ SURVEY.md §7 hard part 1):
   1. student fwd (train)                      -> feat_s, logit_s
   2. teacher fwd (PRE-EMA params)             -> feat_t, logit_t  [KL uses these]
      BN mode per cfg.moma.kl_teacher_bn: 'train' (default) = the
-     reference's steady state (set_bn_train persists across steps, so
-     from step 2 its KL forward uses batch stats and mutates running
-     stats before the key forward); 'eval' = running stats (the
-     reference's step-1-only behavior)
+     reference's within-epoch steady state (set_bn_train persists until
+     the NEXT epoch's model_t.eval() reset, loops:224-227 — so its KL
+     forward uses batch stats from step 2 of each epoch on, and mutates
+     running stats before the key forward); 'eval' = running stats
+     (the reference's first-step-of-each-epoch behavior).  Neither mode
+     flips within an epoch: 'train' deviates from the reference on one
+     step per epoch (documented in PARITY.md, numerically negligible)
   3. EMA: teacher <- alpha*teacher + (1-alpha)*student    (loops:310)
      and embed_t <- EMA(embed_s) when head=='mlp'         (loops:312-315)
   4. key forward through the POST-EMA teacher with BN in TRAIN mode
@@ -131,10 +134,13 @@ def make_moma_train_step(
 
         # ---- teacher KL forward FIRST (pre-EMA params, loops:268-272).
         # kl_teacher_bn='train' (default) reproduces the reference's
-        # steady state: set_bn_train(model_t) persists across steps
-        # (loops:314-318), so its KL forward runs with batch statistics
-        # from step 2 on, and its stats mutation lands BEFORE the key
-        # forward's.  'eval' = running stats (reference step-1 behavior).
+        # within-epoch steady state: set_bn_train(model_t) persists until
+        # the next epoch's model_t.eval() reset (loops:224-227,314-318),
+        # so its KL forward runs with batch statistics from step 2 of
+        # each epoch on, and its stats mutation lands BEFORE the key
+        # forward's.  'eval' = running stats (the reference's behavior on
+        # the FIRST step of each epoch).  One-step-per-epoch deviation
+        # either way; see PARITY.md.
         # cross-arch: the FIXED teacher stays a frozen eval-mode scorer.
         teacher_bs_kl = state.teacher_batch_stats
         feat_t = logit_t = None
