@@ -139,7 +139,14 @@ class RunConfig:
     skip_validation: bool = False
     resume: bool = False
     half_precision: bool = True  # bf16 compute policy (TPU-native AMP)
-    sync_bn: bool = False  # cross-replica BN stats (deviation flag, see moma/shuffle_bn.py)
+    # BN execution mode (train/moma.py make_moma_train_step): 'global' =
+    # one jitted global-batch step (implicit sync-BN; TPU-idiomatic
+    # default, documented deviation from the reference's per-GPU BN);
+    # 'local' = shard_map per-device BN statistics with real Shuffle-BN
+    # (reference-faithful, contrast_trainer.py:90-133); 'sync' =
+    # shard_map with explicit BN-stat pmean over 'data' (same numerics
+    # as 'global'; exists to price the sync-BN collectives, BASELINE.md)
+    bn: str = "global"
     model_parallel: int = 1
     log_every_n_steps: int = 50
     donate: bool = True
@@ -214,7 +221,14 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--save_dir", type=str, default="./save")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
-    p.add_argument("--sync_bn", action="store_true")
+    p.add_argument("--bn", type=str, default="global",
+                   choices=["global", "local", "sync"],
+                   help="BN execution mode: 'global' jitted global-batch "
+                        "stats (default), 'local' per-device stats + real "
+                        "Shuffle-BN (reference-faithful), 'sync' per-device "
+                        "execution with cross-device stat pmean")
+    p.add_argument("--sync_bn", action="store_true",
+                   help="alias for --bn sync (cross-replica BN statistics)")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
@@ -266,7 +280,7 @@ def _cfg_from_common(a) -> Config:
         trial=a.trial,
         skip_test=a.skip_test,
         half_precision=not a.fp32,
-        sync_bn=a.sync_bn,
+        bn="sync" if a.sync_bn else a.bn,
         model_parallel=a.model_parallel,
         resume=a.resume,
         profile_dir=a.profile_dir,

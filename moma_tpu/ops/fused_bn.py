@@ -48,6 +48,7 @@ train mode, loops_moma.py:314-318) — behavior unchanged, only faster.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 import os
@@ -77,6 +78,26 @@ def set_fused_bn(mode: str) -> None:
     global _MODE
     assert mode in _MODES, mode
     _MODE = mode
+
+
+# Default cross-replica axis for EVERY FusedBatchNorm traced while the
+# context is active (sync-BN under shard_map without plumbing axis_name
+# through each backbone's constructor).  Trace-time effect: enter the
+# context around the shard_map body — see train/moma.py bn='sync'.
+_DEFAULT_AXIS_NAME: Optional[str] = None
+
+
+@contextlib.contextmanager
+def bn_axis_name(name: Optional[str]):
+    """While active, BatchNorms traced without an explicit axis_name pmean
+    their batch statistics over mesh axis `name` (sync-BN)."""
+    global _DEFAULT_AXIS_NAME
+    prev = _DEFAULT_AXIS_NAME
+    _DEFAULT_AXIS_NAME = name
+    try:
+        yield
+    finally:
+        _DEFAULT_AXIS_NAME = prev
 
 
 def _resolved_mode() -> str:
@@ -374,7 +395,8 @@ class FusedBatchNorm(nn.Module):
                 out_dtype,
             )
 
-        if self.axis_name is None and _resolved_mode() != "flax":
+        axis_name = self.axis_name or _DEFAULT_AXIS_NAME
+        if axis_name is None and _resolved_mode() != "flax":
             y, mean, var = fused_bn_train(
                 x, scale, bias, self.epsilon, out_dtype
             )
@@ -382,8 +404,8 @@ class FusedBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             stacked = jnp.stack([jnp.mean(xf, axes), jnp.mean(xf * xf, axes)])
-            if self.axis_name is not None:
-                stacked = jax.lax.pmean(stacked, self.axis_name)
+            if axis_name is not None:
+                stacked = jax.lax.pmean(stacked, axis_name)
             mean, mean2 = stacked
             var = jnp.maximum(0.0, mean2 - mean * mean)
             y = _normalize(x, mean, var, scale, bias, self.epsilon, out_dtype)

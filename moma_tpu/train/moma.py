@@ -25,14 +25,23 @@ SURVEY.md §7 hard part 1):
   6. queue logits from the PRE-update memory; enqueue all_k; ptr += |all_k|
   7. loss = cls*CE + div*KL + beta*CE(contrast logits, 0)
 
-Distributed re-design: under jit over the data-sharded mesh the batch is
-globally visible, so the reference's NCCL choreography collapses:
+Two execution modes (cfg.run.bn; see make_moma_train_step docstring):
+
+bn='global' (default, TPU-idiomatic): one jitted step over the data-
+sharded global batch — the reference's NCCL choreography collapses:
   - `all_k = all_gather(k)` -> all_k IS k (the global batch)
   - `broadcast(shuffle idx)` -> one shared PRNG permutation
   - `broadcast_memory`       -> queue init is deterministic & replicated
-Shuffle-BN's purpose (per-device BN leakage) only exists with per-device
-BN stats; with jit's global-batch BN it is a no-op kept behind
-cfg.moma.shuffle_bn for exactness under shard_map execution.
+BN sees the full batch (implicit sync-BN); Shuffle-BN is an exactness
+no-op here.
+
+bn='local'/'sync' (shard_map over 'data'): the SAME step body runs per
+device on its batch shard, exactly one of the reference's DDP ranks —
+per-device BN statistics ('local'; 'sync' pmeans them), gradients
+pmean'd like DDP's all-reduce, and Shuffle-BN (all_gather images ->
+shared perm -> per-device momentum forward -> all_gather keys ->
+unshuffle) is the real batch-leakage defense of
+contrast_trainer.py:90-133.
 """
 
 from __future__ import annotations
@@ -47,7 +56,7 @@ import numpy as np
 
 from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
 from moma_tpu.core.config import Config
-from moma_tpu.core.mesh import create_mesh, replicated_sharding
+from moma_tpu.core.mesh import DATA_AXIS, create_mesh, replicated_sharding
 from moma_tpu.core.schedules import lr_schedule
 from moma_tpu.data.pipeline import Loader
 from moma_tpu.losses import functional as F
@@ -58,6 +67,7 @@ from moma_tpu.moma.queue import (
     contrast_ce,
     step_moco,
     step_moco_att,
+    step_moco_sstt,
     step_moco_st,
 )
 from moma_tpu.train.distill import probe_shapes
@@ -78,12 +88,51 @@ def ema_update(old, new, alpha: float):
     )
 
 
+class _Replicated:
+    """Identity collectives — the jit global-batch execution path, where
+    the whole batch is visible and BN statistics are global (sync-BN)."""
+
+    axis = None
+
+    def gather(self, x):
+        return x
+
+    def pmean(self, t):
+        return t
+
+    def local_slice(self, full, local_n):
+        return full
+
+
+class _DataAxis:
+    """Per-device collectives for the shard_map execution path (bn='local'
+    / 'sync'): the body sees its LOCAL batch shard, exactly like one of
+    the reference's DDP ranks (learning/contrast_trainer.py)."""
+
+    axis = DATA_AXIS
+
+    def gather(self, x):
+        # NCCL all_gather+cat (contrast_trainer.py:83-88) over ICI
+        return jax.lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+
+    def pmean(self, t):
+        # DDP's gradient all-reduce-average / metric reduction
+        return jax.tree_util.tree_map(
+            lambda v: jax.lax.pmean(v, DATA_AXIS), t
+        )
+
+    def local_slice(self, full, local_n):
+        i = jax.lax.axis_index(DATA_AXIS)
+        return jax.lax.dynamic_slice_in_dim(full, i * local_n, local_n, 0)
+
+
 def make_moma_train_step(
     cfg: Config,
     heads: CMOHeads,
     augment_fn: Optional[Callable],
     donate: bool = True,
     cross_arch: bool = False,
+    mesh=None,
 ):
     """cross_arch=False: the paper's mode — the pretrained teacher IS the
     momentum encoder (EMA'd from the student; requires identical archs).
@@ -93,6 +142,22 @@ def make_moma_train_step(
     encoder is an EMA COPY of the student (state.ema_params, key head
     'embed_ema'); the FIXED teacher contributes KL logits and — for the
     dual-bank MoCoST/SSTT memories — its own keys through 'embed_t'.
+
+    BN execution mode (cfg.run.bn; requires `mesh` for 'local'/'sync'):
+      'global' (default): one jitted global-batch step — every BatchNorm
+        sees the full batch (implicit sync-BN; the TPU-idiomatic mode).
+      'local': shard_map over the 'data' axis — the body runs per device
+        on its batch shard like one of the reference's DDP ranks, BN
+        statistics are PER-DEVICE (contrast_trainer.py's world), and the
+        Shuffle-BN permutation is the real leakage defense it was built
+        to be (contrast_trainer.py:90-133).  Gradients/metrics pmean over
+        'data' (== DDP all-reduce-average); running BN stats are pmean'd
+        at step end (deviation: the reference keeps per-rank stats and
+        saves rank 0's — averaging commutes with the linear EMA write, so
+        ours equals the mean of the reference's per-rank stats).
+      'sync': shard_map like 'local' but BN stats pmean over 'data'
+        (explicit sync-BN) — numerically the global-batch semantics with
+        per-device execution; exists to price BN collectives (BASELINE.md).
     """
     c, dv, b = cfg.distill.cls, cfg.distill.div, cfg.distill.beta
     kd_T = cfg.distill.kd_T
@@ -125,10 +190,27 @@ def make_moma_train_step(
 
     kl_train_bn = getattr(cfg.moma, "kl_teacher_bn", "train") == "train"
 
+    bn_mode = getattr(cfg.run, "bn", "global")
+    if bn_mode not in ("global", "local", "sync"):
+        raise ValueError(f"unknown bn mode {bn_mode!r}")
+    if bn_mode != "global" and mesh is None:
+        raise ValueError(f"bn='{bn_mode}' needs the mesh passed to "
+                         "make_moma_train_step")
+    if bn_mode != "global" and use_fused_teacher:
+        raise ValueError("fused_teacher is a single-chip jit-path "
+                         "optimization; use bn='global'")
+    dist = _DataAxis() if bn_mode != "global" else _Replicated()
+
     def step(state: MomaState, batch, rng):
         images = batch["image"]
         if augment_fn is not None:
             rng, k_aug = jax.random.split(rng)
+            if dist.axis is not None:
+                # decorrelate augmentation across device shards (each DDP
+                # worker draws its own augment randomness in the reference)
+                k_aug = jax.random.fold_in(
+                    k_aug, jax.lax.axis_index(dist.axis)
+                )
             images = augment_fn(images, k_aug)
         labels = batch["label"]
 
@@ -215,14 +297,26 @@ def make_moma_train_step(
         else:
             cmo_params_key_head = cmo_params[key_head]
 
-        # ---- keys: shuffled global batch through the post-EMA momentum
-        # encoder with BN in train mode (loops:317)
-        B = images.shape[0]
+        # ---- keys: shuffled GLOBAL batch through the post-EMA momentum
+        # encoder with BN in train mode (loops:317).  Per-device path
+        # (bn='local'/'sync') mirrors contrast_trainer._shuffle_bn:90-133:
+        # all_gather images -> one shared permutation (the broadcast-from-
+        # rank-0 replacement: the replicated rng IS the shared draw) ->
+        # each device forwards ITS slice of the permuted global batch ->
+        # all_gather keys -> unshuffle.  With per-device BN stats the
+        # permutation breaks the batch-composition leakage; on the jit
+        # path (global BN) it is an exactness no-op, as documented.
+        B_local = images.shape[0]
         if shuffle_bn:
-            rng, k_perm = jax.random.split(rng)
-            perm = jax.random.permutation(k_perm, B)
+            all_images = dist.gather(images)
+            Bg = all_images.shape[0]
+            if "shuffle_perm" in batch:
+                perm = batch["shuffle_perm"]  # test/parity hook
+            else:
+                rng, k_perm = jax.random.split(rng)
+                perm = jax.random.permutation(k_perm, Bg)
             inv = jnp.argsort(perm)
-            key_images = images[perm]
+            key_images = dist.local_slice(all_images[perm], B_local)
         else:
             key_images = images
         if cross_arch:
@@ -274,18 +368,26 @@ def make_moma_train_step(
             feat_key[-1],
             train=False,  # momentum head in eval mode (loops:313)
         )
-        if shuffle_bn:
-            k_emb = k_emb[inv]
         k_emb = jax.lax.stop_gradient(k_emb)
-        all_k = k_emb  # global batch == gathered keys (see module docstring)
+        if shuffle_bn:
+            # gather keys globally, undo the shuffle, keep the local rows
+            # (contrast_trainer.py:124-131: k = own slice, all_k = world)
+            all_k = dist.gather(k_emb)[inv]
+            k_emb = dist.local_slice(all_k, B_local)
+        else:
+            all_k = dist.gather(k_emb)
 
         # fast_teacher (opt-in, same-arch only): reuse the key forward's
         # logits for KL — 1 teacher fwd/step instead of 2 (~25% faster);
         # KL then sees post-EMA params + train-mode BN (deviation).
         if fast_teacher:
-            logit_t = jax.lax.stop_gradient(
-                logit_key[inv] if shuffle_bn else logit_key
-            )
+            if shuffle_bn:
+                logit_t = dist.local_slice(
+                    dist.gather(logit_key)[inv], B_local
+                )
+            else:
+                logit_t = logit_key
+            logit_t = jax.lax.stop_gradient(logit_t)
             feat_t = None
         kt_emb = None
         if cross_arch and mem in ("MoCoST", "MoCoSSTT"):
@@ -296,6 +398,22 @@ def make_moma_train_step(
                 jax.lax.stop_gradient(feat_t[-1]), train=False,
             )
             kt_emb = jax.lax.stop_gradient(kt_emb)
+
+        # MoCoSSTT dual query: q_t is the student's query on a SECOND
+        # augmented view (the 'q_jig' lineage of mem_moco.py:224 — Py-
+        # Contrast's jigsaw view; the reference never wires a q_t source).
+        # Gradient flows through the second forward like the first.
+        images2 = None
+        if mem == "MoCoSSTT":
+            if augment_fn is not None:
+                rng, k_aug2 = jax.random.split(rng)
+                if dist.axis is not None:
+                    k_aug2 = jax.random.fold_in(
+                        k_aug2, jax.lax.axis_index(dist.axis)
+                    )
+                images2 = augment_fn(batch["image"], k_aug2)
+            else:
+                images2 = images
 
         def loss_fn(params):
             (feat_s, logit_s), mut = state.apply_fn(
@@ -321,6 +439,7 @@ def make_moma_train_step(
                     state.queue, q, k_local, keys_for_queue, nce_t,
                     attn, attn_fns,
                 )
+                logits_list = [logits]
             elif mem in ("MoCoST", "MoCoSSTT"):
                 # dual-bank variant: momentum-encoder keys fill memory_s;
                 # cross-arch mode adds the fixed teacher's keys to memory_t
@@ -329,10 +448,46 @@ def make_moma_train_step(
                 if attn == "self" and attn_fns:
                     q_in = attn_fns["atts_q"](q_in)
                     k_in = attn_fns["atts_k"](k_in)
-                logits_ss, logits_st, new_queue = step_moco_st(
-                    state.queue, q_in, k_in, kt_in, None, None, nce_t
-                )
-                logits = logits_ss  # loss uses the first logit set (loops:334)
+                # enqueue the GLOBAL gathered keys (post-attention: atts_k
+                # mixes only within a device's rows, like the reference's
+                # per-rank batch-token attention)
+                all_k_in = dist.gather(k_in)
+                all_kt_in = dist.gather(kt_in)
+                if mem == "MoCoSSTT":
+                    # dual query: second-view student embedding (q_jig slot
+                    # of mem_moco.py:219-253) -> 4 logit sets ss/st/ts/tt
+                    (feat_s2, _), _ = state.apply_fn(
+                        {
+                            "params": params["student"],
+                            "batch_stats": state.batch_stats["student"],
+                        },
+                        images2,
+                        train=True,
+                        mutable=["batch_stats"],  # view-2 stats discarded
+                    )
+                    qt_in, _ = heads.embed(
+                        "embed_s", params["cmo"], state.batch_stats["cmo"],
+                        feat_s2[-1], train=True,
+                    )
+                    if attn == "self" and attn_fns:
+                        qt_in = attn_fns["atts_q"](qt_in)
+                    logits_ss, logits_st, logits_ts, logits_tt, new_queue = (
+                        step_moco_sstt(
+                            state.queue, q_in, k_in, qt_in, kt_in,
+                            all_k_in, all_kt_in, nce_t,
+                        )
+                    )
+                    logits = logits_ss
+                    logits_list = [logits_ss, logits_st, logits_ts, logits_tt]
+                else:
+                    logits_ss, logits_st, new_queue = step_moco_st(
+                        state.queue, q_in, k_in, kt_in,
+                        all_k_in, all_kt_in, nce_t,
+                    )
+                    # ST keeps round-1 semantics: loss on the first logit
+                    # set (the loop's single-logits contract, loops:334)
+                    logits = logits_ss
+                    logits_list = [logits_ss]
             else:  # MoCo
                 q_in, k_in, keys_in = q, k_local, keys_for_queue
                 if attn == "self" and attn_fns:
@@ -344,7 +499,12 @@ def make_moma_train_step(
                 logits, new_queue = step_moco(
                     state.queue, q_in, k_in, keys_in, nce_t
                 )
-            loss_kd = contrast_ce(logits)
+                logits_list = [logits]
+            # SSTT: mean CE over the 4 sets (each is a (K+1)-way contrast
+            # with the positive at column 0); others: single-set CE
+            loss_kd = sum(contrast_ce(lg) for lg in logits_list) / len(
+                logits_list
+            )
             total = c * loss_cls + dv * loss_div + b * loss_kd
             new_bs = {
                 "student": mut.get("batch_stats", {}),
@@ -362,6 +522,13 @@ def make_moma_train_step(
                 {"student": state.params["student"], "cmo": cmo_params}
             )
         )
+        # per-device path: DDP-style all-reduce-average of gradients and
+        # of the (per-device) new BN running stats — the EMA write is
+        # linear in the previous value, so the averaged stats equal the
+        # mean of the reference's per-rank stats at every step
+        grads = dist.pmean(grads)
+        new_bs = dist.pmean(new_bs)
+        new_momentum_bs = dist.pmean(new_momentum_bs)
         # the key head is EMA-tracked, never SGD-trained (train_student_moma:343)
         grads["cmo"][key_head] = jax.tree_util.tree_map(
             jnp.zeros_like, grads["cmo"][key_head]
@@ -386,28 +553,84 @@ def make_moma_train_step(
             params={**new_state.params, "cmo": new_cmo}
         )
 
-        metrics = {
-            "loss": total,
-            "loss_cls": loss_cls,
-            "loss_div": loss_div,
-            "loss_kd": loss_kd,
-            "acc1": jnp.mean(
-                (jnp.argmax(logit_s, -1) == labels).astype(jnp.float32)
-            )
-            * 100.0,
-            "acc5": jnp.mean(
-                jnp.any(
-                    jax.lax.top_k(logit_s, min(5, logit_s.shape[-1]))[1]
-                    == labels[:, None],
-                    axis=-1,
-                ).astype(jnp.float32)
-            )
-            * 100.0,
-            "queue_ptr": new_queue.ptr,
-        }
+        metrics = dist.pmean(
+            {
+                "loss": total,
+                "loss_cls": loss_cls,
+                "loss_div": loss_div,
+                "loss_kd": loss_kd,
+                "acc1": jnp.mean(
+                    (jnp.argmax(logit_s, -1) == labels).astype(jnp.float32)
+                )
+                * 100.0,
+                "acc5": jnp.mean(
+                    jnp.any(
+                        jax.lax.top_k(logit_s, min(5, logit_s.shape[-1]))[1]
+                        == labels[:, None],
+                        axis=-1,
+                    ).astype(jnp.float32)
+                )
+                * 100.0,
+            }
+        )
+        metrics["queue_ptr"] = new_queue.ptr  # int; identical on all devices
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if bn_mode == "global":
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return _shard_mapped_step(step, mesh, bn_mode, donate)
+
+
+def _shard_map_fn():
+    """shard_map across jax versions (jax.shard_map since 0.8)."""
+    try:
+        return jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map
+
+
+def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
+    """Wrap the per-device step body in shard_map over the 'data' axis.
+
+    The body computes on its local batch shard (per-device BN — one of
+    the reference's DDP ranks); everything device-varying is pmean'd /
+    gathered inside, so every output is replicated (out_specs P()).
+    bn='sync' additionally pmeans BN batch statistics over 'data' via the
+    fused_bn default-axis-name context (active during tracing).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    smap = _shard_map_fn()
+
+    def body(state, batch, rng):
+        if bn_mode == "sync":
+            from moma_tpu.ops.fused_bn import bn_axis_name
+
+            with bn_axis_name(DATA_AXIS):
+                return step(state, batch, rng)
+        return step(state, batch, rng)
+
+    def run(state, batch, rng):
+        batch_specs = {
+            k: (
+                P()
+                if k == "shuffle_perm"
+                else P(DATA_AXIS, *([None] * (jnp.ndim(v) - 1)))
+            )
+            for k, v in batch.items()
+        }
+        kw = {}
+        try:  # jax>=0.8 renamed the replication check
+            f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
+                     out_specs=P(), check_vma=False, **kw)
+        except TypeError:
+            f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
+                     out_specs=P(), check_rep=False, **kw)
+        return f(state, batch, rng)
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
 def run_moma(cfg: Config, synthetic: bool = False):
@@ -513,7 +736,8 @@ def run_moma(cfg: Config, synthetic: bool = False):
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_moma_train_step(
-        cfg, heads, train_aug, donate=cfg.run.donate, cross_arch=cross_arch
+        cfg, heads, train_aug, donate=cfg.run.donate, cross_arch=cross_arch,
+        mesh=mesh,
     )
     eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
 

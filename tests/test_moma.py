@@ -254,3 +254,71 @@ def test_moma_no_shuffle_bn_matches_with_global_bn(mesh8):
     np.testing.assert_allclose(
         float(m1["loss_kd"]), float(m2["loss_kd"]), rtol=1e-3
     )
+
+
+def test_moma_sstt_dual_query_route(mesh8):
+    """mem=MoCoSSTT routes through step_moco_sstt with the second-view
+    dual query (train/moma.py): 4 logit sets, both banks enqueued, loss
+    distinct from the ST route."""
+    cfg, state, step = _setup(mesh8, mem="MoCoSSTT")
+    batch = _batch(mesh8)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss_kd"]))
+    assert int(new_state.queue.ptr) == B
+    ms = np.asarray(new_state.queue.memory["memory_s"][:B])
+    mt = np.asarray(new_state.queue.memory["memory_t"][:B])
+    # both banks received this step's keys (rows changed from init); with
+    # attn='self' they differ (memory_s enqueues atts_k-transformed keys,
+    # memory_t the raw teacher-side keys)
+    assert not np.allclose(ms, np.asarray(state.queue.memory["memory_s"][:B]))
+    assert not np.allclose(mt, np.asarray(state.queue.memory["memory_t"][:B]))
+
+    # with no attention, same-arch k_t falls back to k -> identical rows
+    # enter both banks
+    cfg_na, state_na, step_na = _setup(mesh8, mem="MoCoSSTT", attn="none")
+    ns_na, _ = step_na(state_na, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(ns_na.queue.memory["memory_s"][:B]),
+        np.asarray(ns_na.queue.memory["memory_t"][:B]), rtol=1e-6,
+    )
+
+    # ST on identical inputs takes the single-set (ss) loss: must differ
+    # from SSTT's 4-set mean (the in-loop SSTT route is NOT a relabelled ST)
+    cfg2, state2, step2 = _setup(mesh8, mem="MoCoST")
+    _, metrics_st = step2(state2, batch, jax.random.PRNGKey(1))
+    assert abs(float(metrics["loss_kd"]) - float(metrics_st["loss_kd"])) > 1e-6
+
+
+def test_moma_sstt_second_view_is_live(mesh8):
+    """The dual query comes from a SECOND augmented view: making the
+    augmentation stochastic must change the SSTT contrast loss but not
+    the deterministic-augment baseline's cls loss path."""
+    import moma_tpu.data.augment as aug
+
+    def noisy_augment(im, rng):
+        x = aug.cifar_eval_normalize(im)
+        return x + 0.01 * jax.random.normal(rng, x.shape)
+
+    cfg, state, step = _setup(mesh8, mem="MoCoSSTT")
+    batch = _batch(mesh8)
+    _, m_det = step(state, batch, jax.random.PRNGKey(1))
+
+    from moma_tpu.train.moma import make_moma_train_step
+
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=64, t_dim=64)
+    step_noisy = make_moma_train_step(cfg, heads, augment_fn=noisy_augment,
+                                      donate=False)
+    cfg2, state2, _ = _setup(mesh8, mem="MoCoSSTT")
+    _, m_noise = step_noisy(state2, batch, jax.random.PRNGKey(1))
+    # the noisy second view perturbs q_t -> ts/tt logits -> loss_kd
+    assert abs(float(m_noise["loss_kd"]) - float(m_det["loss_kd"])) > 1e-7
+
+
+def test_moma_sstt_cli_reachable():
+    from moma_tpu.core.config import parse_student_args
+
+    cfg = parse_student_args(
+        ["--distill", "moma", "--mem", "MoCoSSTT", "--model_s", "resnet8",
+         "--model_t", "resnet8", "--head", "mlp"]
+    )
+    assert cfg.moma.mem == "MoCoSSTT"
