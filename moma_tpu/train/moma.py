@@ -733,6 +733,35 @@ def run_moma(cfg: Config, synthetic: bool = False):
         teacher_apply_fn=teacher.apply,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
+    if cfg.run.model_parallel > 1:
+        # shard the negative queue's rows over 'model' (queue.py:17-21):
+        # the contrast matmul q @ queue^T computes (B, K/model)-sharded
+        # logits and the contrast CE's logsumexp reduces with one psum
+        # inserted by jit — the scaling path for large K.  Loss parity vs
+        # the replicated queue: tests/test_queue_model_parallel.py.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if cfg.run.bn != "global":
+            raise ValueError(
+                "model_parallel > 1 requires bn='global' (the shard_map "
+                "BN modes manage the mesh themselves)"
+            )
+        mp = mesh.shape["model"]
+        if cfg.moma.nce_k % mp != 0:
+            raise ValueError(
+                f"nce_k={cfg.moma.nce_k} not divisible by "
+                f"model_parallel={mp}"
+            )
+        state = state.replace(
+            queue=state.queue.replace(
+                memory={
+                    k: jax.device_put(v, NamedSharding(mesh, P("model", None)))
+                    for k, v in state.queue.memory.items()
+                }
+            )
+        )
+        print(f"[moma] negative queue (K={cfg.moma.nce_k}) sharded over "
+              f"'model'={mp}")
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_moma_train_step(

@@ -53,6 +53,14 @@ def run_student(cfg: Config, synthetic: bool = False):
     stats = StatsWriter(run_dir)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
 
+    if cfg.run.model_parallel > 1:
+        # nothing in the comparison-distiller step shards over 'model';
+        # accepting the flag would silently halve the data axis instead
+        raise ValueError(
+            "--model_parallel > 1 is only wired for --distill moma (it "
+            "shards the negative queue over the 'model' axis); the "
+            "comparison distillers are pure data-parallel"
+        )
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

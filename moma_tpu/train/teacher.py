@@ -68,6 +68,14 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     stats = StatsWriter(run_dir)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
 
+    if cfg.run.model_parallel > 1:
+        # supervised training has no 'model'-axis operand; accepting the
+        # flag would silently halve the data axis instead of sharding
+        raise ValueError(
+            "--model_parallel > 1 is only wired for --distill moma (it "
+            "shards the negative queue); teacher training is pure "
+            "data-parallel"
+        )
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

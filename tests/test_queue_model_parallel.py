@@ -1,0 +1,172 @@
+"""'model'-axis negative-queue sharding, end-to-end (run_moma wiring).
+
+The scaling path for large K (moma/queue.py:17-21): queue rows sharded
+P('model', None), contrast logits arrive (B, K/model)-sharded, the CE's
+logsumexp reduces with a jit-inserted psum.  Verified here:
+
+  * sharded-K training losses == replicated-K losses (3 chained steps)
+  * the queue STAYS model-sharded across steps (no silent gather)
+  * run_moma errors on invalid combos; teacher/comparison runners REJECT
+    --model_parallel > 1 instead of silently halving the data axis
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from moma_tpu.core.config import Config, DistillConfig, MomaConfig
+from moma_tpu.core.mesh import data_sharding, replicated_sharding
+from moma_tpu.core.schedules import lr_schedule
+from moma_tpu.data.augment import cifar_eval_normalize
+from moma_tpu.models import create_model
+from moma_tpu.moma.cmo import CMOHeads
+from moma_tpu.moma.queue import QueueState
+from moma_tpu.train.distill import probe_shapes
+from moma_tpu.train.moma import make_moma_train_step
+from moma_tpu.train.state import MomaState, make_sgd
+
+B, N_CLS, K, FEAT = 16, 10, 64, 32
+
+
+def _setup(mesh):
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = B
+    cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+    cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=0.15, alpha=0.99,
+                          mem="MoCo", head="mlp", attn="self")
+    cfg.model_s.n_cls = N_CLS
+
+    model = create_model("resnet8", num_classes=N_CLS)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    sample = jnp.zeros((2, 32, 32, 3))
+    vars_s = model.init(k1, sample, train=False)
+    vars_t = model.init(k2, sample, train=False)
+    fs, _ = probe_shapes(model, 32, B)
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT,
+                     s_dim=fs[-1][-1], t_dim=fs[-1][-1])
+    cmo_params, cmo_bs = heads.init(k3)
+    queue = QueueState.create(k4, K, FEAT)
+    tx = make_sgd(lr_schedule(0.05, 5, 4, cosine=True), 0.9, 5e-4)
+    params = {"student": vars_s["params"], "cmo": cmo_params}
+    state = MomaState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"student": vars_s["batch_stats"], "cmo": cmo_bs},
+        teacher_params=vars_t["params"],
+        teacher_batch_stats=vars_t["batch_stats"],
+        queue=queue, opt_state=tx.init(params), tx=tx,
+        apply_fn=model.apply, teacher_apply_fn=model.apply,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_moma_train_step(
+        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
+        donate=False, mesh=mesh,
+    )
+    return state, step
+
+
+def _batch(mesh, seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "image": jax.device_put(
+            rs.randint(0, 256, (B, 32, 32, 3), dtype=np.uint8),
+            data_sharding(mesh),
+        ),
+        "label": jax.device_put(
+            rs.randint(0, N_CLS, (B,)).astype(np.int32),
+            data_sharding(mesh, ndim=1),
+        ),
+    }
+
+
+def _shard_queue(state, mesh):
+    return state.replace(
+        queue=state.queue.replace(
+            memory={
+                k: jax.device_put(v, NamedSharding(mesh, P("model", None)))
+                for k, v in state.queue.memory.items()
+            }
+        )
+    )
+
+
+def test_sharded_k_matches_replicated(mesh4x2):
+    state_r, step = _setup(mesh4x2)
+    state_s = _shard_queue(state_r, mesh4x2)
+    batch = _batch(mesh4x2)
+    for i in range(3):
+        rng = jax.random.PRNGKey(10 + i)
+        state_r, m_r = step(state_r, batch, rng)
+        state_s, m_s = step(state_s, batch, rng)
+        np.testing.assert_allclose(
+            float(m_s["loss"]), float(m_r["loss"]), rtol=1e-5,
+            err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            float(m_s["loss_kd"]), float(m_r["loss_kd"]), rtol=1e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_s.queue.memory["memory"]),
+        np.asarray(state_r.queue.memory["memory"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_queue_stays_model_sharded(mesh4x2):
+    state, step = _setup(mesh4x2)
+    state = _shard_queue(state, mesh4x2)
+    batch = _batch(mesh4x2)
+    for i in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    spec = state.queue.memory["memory"].sharding.spec
+    assert spec and spec[0] == "model", (
+        f"queue lost its 'model' sharding after stepping: {spec}"
+    )
+
+
+def test_runner_rejects_model_parallel_where_unwired(tmp_path):
+    from moma_tpu.train.student import run_student
+    from moma_tpu.train.teacher import run_teacher
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = 8
+    cfg.run.model_parallel = 2
+    cfg.run.epochs = 1
+    cfg.run.save_dir = str(tmp_path)
+    cfg.model_s.n_cls = 4
+    with pytest.raises(ValueError, match="model_parallel"):
+        run_teacher(cfg, synthetic=True)
+    from moma_tpu.core.config import ModelConfig
+
+    cfg.model_t = ModelConfig(name="resnet8", n_cls=4)
+    cfg.model_s = ModelConfig(name="resnet8", n_cls=4)
+    cfg.distill = DistillConfig(distill="kd", cls=1.0, div=1.0, beta=0.0)
+    with pytest.raises(ValueError, match="model_parallel"):
+        run_student(cfg, synthetic=True)
+
+
+def test_run_moma_validates_model_parallel_combos(tmp_path):
+    from moma_tpu.core.config import ModelConfig
+    from moma_tpu.train.moma import run_moma
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = 8
+    cfg.data.image_size = 32
+    cfg.run.model_parallel = 2
+    cfg.run.epochs = 1
+    cfg.run.save_dir = str(tmp_path)
+    cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+    cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=63, nce_t=0.15, mem="MoCo",
+                          head="mlp", attn="self")
+    cfg.model_s = ModelConfig(name="resnet8", n_cls=4)
+    cfg.model_t = ModelConfig(name="resnet8", n_cls=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        run_moma(cfg, synthetic=True)
+    cfg.moma.nce_k = 64
+    cfg.run.bn = "local"
+    with pytest.raises(ValueError, match="bn='global'"):
+        run_moma(cfg, synthetic=True)
