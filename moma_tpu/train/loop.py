@@ -49,6 +49,13 @@ def train_one_epoch(
     meters = {k: Meter() for k in ("loss", "acc1", "acc5", "batch_time", "data_time")}
     t0 = time.perf_counter()
     bs = loader.batch_size
+    # FULL-coverage epoch statistics with zero extra syncs: accumulate the
+    # step scalars as LAZY device values (3 tiny adds/step ride the async
+    # dispatch stream) and fetch once at epoch end — the reference's
+    # every-batch AverageMeter (helper/loops_moma.py:44-46) without its
+    # per-step host round-trip
+    dev_sums = None
+    n_steps = 0
     for i, batch in enumerate(loader):
         if stop is not None and stop.stopping:
             break
@@ -57,6 +64,13 @@ def train_one_epoch(
         b = shard_batch(batch, mesh)
         rng = jax.random.fold_in(base_rng, epoch * 1_000_003 + i)
         state, metrics = step_fn(state, b, rng)
+        contrib = (metrics["loss"], metrics["acc1"], metrics["acc5"])
+        dev_sums = (
+            contrib
+            if dev_sums is None
+            else tuple(a + c for a, c in zip(dev_sums, contrib))
+        )
+        n_steps += 1
         # async dispatch: only block on scalars at print points
         if (i + 1) % print_freq == 0 or (i + 1) == len(loader):
             for k in ("loss", "acc1", "acc5"):
@@ -77,10 +91,14 @@ def train_one_epoch(
                 )
         t0 = time.perf_counter()
         meters["batch_time"].update(t0 - t1)
+    if dev_sums is not None:  # ONE fetch for the whole epoch
+        loss_avg, acc1_avg, acc5_avg = (float(s) / n_steps for s in dev_sums)
+    else:
+        loss_avg = acc1_avg = acc5_avg = 0.0
     return state, {
-        "loss": meters["loss"].avg,
-        "acc1": meters["acc1"].avg,
-        "acc5": meters["acc5"].avg,
+        "loss": loss_avg,
+        "acc1": acc1_avg,
+        "acc5": acc5_avg,
         "batch_time": meters["batch_time"].avg,
         "data_time": meters["data_time"].avg,
         "ips": bs / max(meters["batch_time"].avg, 1e-9),

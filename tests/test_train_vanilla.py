@@ -124,3 +124,46 @@ def test_grad_sync_equals_global_batch():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-4
         )
+
+
+def test_epoch_meters_cover_every_batch(mesh8):
+    """train_one_epoch's epoch statistics average EVERY step (device-side
+    lazy accumulation, one fetch) — not just the print_freq samples the
+    reference-style meters see (helper/loops_moma.py:44-46)."""
+    from moma_tpu.train.loop import train_one_epoch
+
+    n_cls = 10
+    model = create_model("resnet8", num_classes=n_cls)
+    state = _build_state(model, mesh8)
+    ds = synthetic_dataset(64, 32, n_cls, seed=1)
+    loader = Loader(ds, batch_size=16, train=True, seed=0)
+    step_fn = make_vanilla_train_step(
+        augment_fn=lambda img, rng: cifar_eval_normalize(img), donate=False
+    )
+
+    # ground truth: replay the identical epoch step-by-step
+    state_ref = _build_state(model, mesh8)
+    rng0 = jax.random.PRNGKey(3)
+    loader.set_epoch(1)
+    shard = data_sharding(mesh8)
+    lshard = data_sharding(mesh8, ndim=1)
+    ref_losses, ref_accs = [], []
+    for i, batch in enumerate(loader):
+        b = {
+            "image": jax.device_put(batch["image"], shard),
+            "label": jax.device_put(batch["label"], lshard),
+        }
+        rng = jax.random.fold_in(rng0, 1 * 1_000_003 + i)
+        state_ref, m = step_fn(state_ref, b, rng)
+        ref_losses.append(float(m["loss"]))
+        ref_accs.append(float(m["acc1"]))
+
+    # print_freq larger than the epoch: the old subsampled meters would
+    # have seen only the final batch
+    state2 = _build_state(model, mesh8)
+    _, tr = train_one_epoch(
+        state2, loader, step_fn, mesh8, epoch=1, base_rng=rng0,
+        print_freq=1000,
+    )
+    np.testing.assert_allclose(tr["loss"], np.mean(ref_losses), rtol=1e-5)
+    np.testing.assert_allclose(tr["acc1"], np.mean(ref_accs), rtol=1e-5)
