@@ -31,10 +31,24 @@ def init_distributed(coordinator: str | None = None,
                      process_id: int | None = None) -> None:
     """Multi-host bring-up (the mp.spawn/NCCL-rendezvous replacement,
     reference base_trainer.py:39-61).  On TPU pods jax.distributed
-    auto-discovers everything; args exist for manual DCN setups.  No-op
-    when already initialized or single-process."""
+    auto-discovers everything; args exist for manual DCN setups (and the
+    2-process CPU smoke, tests/test_multihost_smoke.py — gloo backs the
+    cross-process collectives there).
+
+    Explicit args are a hard requirement: failures RAISE.  Only the
+    zero-arg autodetect call degrades to single-process silently."""
     import jax
 
+    explicit = coordinator is not None or num_processes is not None
+    # NOTE: must not touch the backend before initialize() (jax.devices/
+    # default_backend would initialize XLA) — read the config value only
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if explicit and "cpu" in str(platforms):
+        # cross-process CPU collectives need the gloo implementation
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax: flag absent, gloo is the default
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -42,7 +56,9 @@ def init_distributed(coordinator: str | None = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        if explicit:
+            raise
+        # autodetect path: already initialized / single-process environment
 
 
 def create_mesh(
