@@ -411,10 +411,15 @@ def rand_augment(
     if use_pallas:
         from moma_tpu.ops.pallas_randaugment import ra_layer_pallas
 
+        # bf16 carry between layers: every inter-layer image is rounded
+        # integers 0..255 (exact in bf16), halving the kernel HBM traffic
+        x = x.astype(jnp.bfloat16)
         for i in range(num_layers):
             x = ra_layer_pallas(
-                x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
+                x, jax.random.fold_in(rng, i), magnitude, magnitude_std,
+                fill, out_dtype=jnp.bfloat16,
             )
+        x = x.astype(jnp.float32)
     else:
         for i in range(num_layers):
             x = randaugment_layer(

@@ -1,24 +1,51 @@
 """Pallas TPU kernel for one RandAugment layer (the augmentation hot path).
 
-Measured on v5e at 512^2 x 64: the XLA staged implementation costs
-~150 ms/layer because every stage round-trips HBM (LUT apply, enhance,
-smooth, 27 roll-ladder steps for the warp).  This kernel keeps ONE image
-(3,H,W) resident in VMEM and runs all four stages back-to-back per grid
-step, so HBM traffic drops to read-once + write-once (~6 MB/image).
+v1 measured on v5e at 512^2 x 128: the kernel itself ran at 2.6 ms/layer
+but the layer still cost ~29 ms because stage 1 (histogram + 256-entry
+LUT build/apply) stayed in XLA: a one-hot MXU histogram plus a 16-chunk
+serialized LUT-apply loop, with ~9 ms of pure layout copies/reshapes
+between batch-minor and row-major layouts (see scripts/conv_ceiling.py).
 
-Split of responsibilities:
-  outside (plain JAX, cheap):  histograms (one-hot MXU contraction),
-      per-image LUT construction, all op-conditional scalar parameters
-  kernel (per image):          x_int -> LUT apply (one-hot matmul in
-      chunks) -> enhance blend (luma + in-kernel mean) -> PIL-SMOOTH
-      sharpness blend -> 3-pass shear warp (static-roll binary ladder)
-      -> clip + prob gate
+v2 moves ALL of stage 1 into the kernel, eliminating the XLA machinery:
 
-Scalar layout per image (f32[16], SMEM):
-  0 a_scale   1 b_luma   2 c_mean    3 sharp_f
+  * invert / posterize / solarize / solarize-add are pure per-pixel
+    arithmetic with op-conditional scalars (a 256-entry LUT in the XLA
+    path only because PIL phrases them that way),
+  * autocontrast needs just per-channel min/max (PIL cutoff=0) — two
+    VMEM-resident reductions, then the same linear stretch,
+  * equalize is the ONLY true table op: per-channel 256-bin histogram,
+    prefix-sum ladder, and a 256-iteration select-apply loop, all inside
+    the kernel.  This is the one expensive path (~0.2 ms/image) but it
+    is PREDICATED: only images that drew op==Equalize AND passed the
+    prob gate pay it (~1/30 of images).
+
+  A per-pixel roll-ladder gather does NOT work for LUT application: the
+  ladder is only a gather when the shift map is constant along the roll
+  axis (mask at position c is consulted for values that originated at
+  c+2^j — see _ladder_shift_2d), which holds for the shear warp but not
+  for value-indexed lookups.  Hence the explicit 256-select loop for
+  equalize, made affordable by rarity + predication.
+
+Every other stage is predicated per image too (pl.when on SMEM
+scalars): only ONE RandAugment op fires per layer per image (and only
+with prob 0.5), so for most images enhance/smooth/warp are exact
+identities (a=1,b=0,c=0 / sharp_f=1 / zero slopes+offsets) and the
+27-stage warp roll ladder — the dominant kernel cost — runs only for
+the ~27%% of images that drew an affine op and passed the gate.
+
+Parity contract (vs data/randaugment.py, itself golden-tested against
+PIL): identical math per stage; the kernel consumes integer-valued
+images (decoded uint8 or the previous layer's rounded output — exact in
+bf16) and applies the same clip(round(.)) quantization on entry to the
+op pipeline and between layers.
+
+Scalar layout per image (f32[24], SMEM):
+  0 a_scale   1 b_luma    2 c_mean    3 sharp_f
   4 p1_slope  5 p1_center 6 p1_offset
   7 p2_slope  8 p2_center 9 p2_offset
-  10 p3_slope 11 apply    12..14 fill RGB  15 (pad)
+  10 p3_slope 11 apply    12..14 fill RGB
+  15 op_id    16 post_scale (2^bits_dropped)
+  17 solar_th 18 sadd_add 19..23 (pad)
 """
 
 from __future__ import annotations
@@ -37,7 +64,8 @@ LUMA_R, LUMA_G, LUMA_B = 0.299, 0.587, 0.114
 
 
 def _static_roll(x, shift: int, axis: int):
-    """Static circular roll via slice+concat (Mosaic-friendly)."""
+    """Static circular LEFT roll via slice+concat (Mosaic-friendly):
+    out[..., i, ...] = x[..., (i + shift) mod L, ...]."""
     if shift == 0:
         return x
     L = x.shape[axis]
@@ -93,81 +121,192 @@ def _resample_pass(y, slope, center, offset, axis: int, fill_b):
     )
 
 
-def _make_kernel(H: int, W: int):
-    """Kernel for stages 2-4; stage 1 (hist+LUT) stays in XLA where the
-    one-hot contraction is already fast and Mosaic's reshape rules block
-    the in-kernel (R,W)->(N,1) flattening."""
+def _prefix_sum_lanes(row):
+    """Inclusive prefix sum along the last (lane) axis via a log ladder."""
+    ax = row.ndim - 1
+    n = row.shape[ax]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, ax)
+    d = 1
+    while d < n:
+        shifted = _static_roll(row, n - d, axis=ax)  # out[i] = row[i-d]
+        row = row + jnp.where(lane >= d, shifted, 0.0)
+        d *= 2
+    return row
 
-    def kernel(scal_all_ref, y_ref, x_ref, o_ref):
+
+def _equalize_image(img, H: int, W: int):
+    """PIL ImageOps.equalize on an integer-valued (3,H,W) image, fully
+    in-kernel (matches RA._equalize_lut + LUT apply bit-for-bit: same
+    float formulas).  All three channels ride each 256-iteration loop
+    together — one fused (3,H,W) compare + one (3,1,1) reduction per
+    value instead of three scalar reduction trees.  Cost ~0.5 ms/image
+    on v5e — predicated to the ~3%% of images that draw Equalize."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    iota_f = iota.astype(jnp.float32)
+
+    def hist_body(v, h3):  # h3 (3,1,256)
+        v_f = v.astype(jnp.float32)
+        m = jnp.where(img == v_f, 1.0, 0.0)
+        # chained lane-then-sublane reduces (Mosaic: no cross-plane reduce)
+        cnt = jnp.sum(jnp.sum(m, axis=2, keepdims=True),
+                      axis=1, keepdims=True)  # (3,1,1)
+        return h3 + cnt * jnp.where(iota == v, 1.0, 0.0)
+
+    hist = jax.lax.fori_loop(
+        0, 256, hist_body, jnp.zeros((3, 1, 256), jnp.float32))
+    nonzero = hist > 0.0
+    last_idx = jnp.max(jnp.where(nonzero, iota_f, -1.0),
+                       axis=2, keepdims=True)  # (3,1,1)
+    last_count = jnp.sum(jnp.where(iota_f == last_idx, hist, 0.0),
+                         axis=2, keepdims=True)
+    step = jnp.floor((float(H * W) - last_count) / 255.0)  # (3,1,1)
+    cum_before = _prefix_sum_lanes(hist) - hist  # exclusive cumsum
+    lut = jnp.floor(
+        (cum_before + jnp.floor(step / 2.0)) / jnp.maximum(step, 1.0)
+    )
+    lut = jnp.clip(lut, 0.0, 255.0)
+    lut = jnp.where(step > 0.0, lut, iota_f)  # step==0 -> identity
+
+    def apply_body(v, acc):  # acc (3,H,W)
+        lv = jnp.sum(jnp.where(iota == v, lut, 0.0),
+                     axis=2, keepdims=True)  # (3,1,1) = lut[:,v]
+        return jnp.where(img == v.astype(jnp.float32), lv, acc)
+
+    return jax.lax.fori_loop(0, 256, apply_body, img)
+
+
+def _make_kernel(H: int, W: int):
+    def kernel(scal_all_ref, x_ref, o_ref, acc_ref):
         i = pl.program_id(0)
 
         def sc(j):
             return scal_all_ref[i, j]
 
-        # original image for the prob gate, shipped bf16 (integers
-        # 0..255 are exact in bf16; halves this block's VMEM)
-        x = x_ref[0].astype(jnp.float32)
-        # LUT-applied image, also bf16-exact integers (see _apply_lut)
-        y = y_ref[0].astype(jnp.float32)  # (3,H,W)
-
-        # ---- stage 2: enhance blend  out = a*y + b*round(luma) + c*mean_l
-        a = sc(0)
-        b = sc(1)
-        c_mean = sc(2)
-        luma = jnp.floor(
-            LUMA_R * y[0] + LUMA_G * y[1] + LUMA_B * y[2] + 0.5
-        )
-        mean_l = jnp.floor(jnp.sum(luma) / (H * W) + 0.5)
-        y = a * y + b * luma[None, :, :] + (c_mean * mean_l)
-
-        # ---- stage 3: sharpness blend (PIL SMOOTH, border kept)
-        sharp_f = sc(3)
-        p = jnp.pad(y, ((0, 0), (1, 1), (1, 1)))
-        acc = 5.0 * y
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                acc = acc + p[:, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-        sm = acc / 13.0
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        border = (
-            (row_i == 0) | (row_i == H - 1) | (col_i == 0) | (col_i == W - 1)
-        )[None, :, :]
-        sm = jnp.where(border, y, sm)
-        y = sm + sharp_f * (y - sm)
-
-        # ---- stage 4: 3-pass shear warp
-        z = jnp.zeros((1, H, W), jnp.float32)
-        fill_b = jnp.concatenate(
-            [z + sc(12), z + sc(13), z + sc(14)], axis=0
-        )
-        y = _resample_pass(y, sc(4), sc(5), sc(6), 2, fill_b)
-        y = _resample_pass(y, sc(7), sc(8), sc(9), 1, fill_b)
-        cy = (H - 1) / 2.0
-        y = _resample_pass(y, sc(10), cy, 0.0, 2, fill_b)
-
-        # ---- clip + prob gate + inter-layer PIL rounding
-        y = jnp.round(jnp.clip(y, 0.0, 255.0))
         gate = sc(11) > 0.5
-        o_ref[0] = jnp.where(gate, y, x)
+
+        @pl.when(jnp.logical_not(gate))
+        def _skip():
+            # untouched image when the op is skipped (prob gate)
+            o_ref[0] = x_ref[0].astype(o_ref.dtype)
+
+        @pl.when(gate)
+        def _apply():
+            # entry quantization: PIL works on uint8 (x_int in the XLA
+            # path); identical for integer-valued inputs
+            acc_ref[...] = jnp.clip(
+                jnp.round(x_ref[0].astype(jnp.float32)), 0.0, 255.0
+            )
+
+            op = sc(15)
+
+            # ---- stage 1: the LUT ops, as per-pixel arithmetic
+            @pl.when(op == 2.0)
+            def _invert():
+                acc_ref[...] = 255.0 - acc_ref[...]
+
+            @pl.when(op == 4.0)
+            def _posterize():
+                ps = sc(16)  # 2^bits_dropped
+                acc_ref[...] = jnp.floor(acc_ref[...] / ps) * ps
+
+            @pl.when(op == 5.0)
+            def _solarize():
+                y = acc_ref[...]
+                acc_ref[...] = jnp.where(y < sc(17), y, 255.0 - y)
+
+            @pl.when(op == 6.0)
+            def _solarize_add():
+                y = acc_ref[...]
+                acc_ref[...] = jnp.where(
+                    y < 128.0, jnp.minimum(255.0, y + sc(18)), y
+                )
+
+            @pl.when(op == 0.0)
+            def _autocontrast():
+                # PIL cutoff=0: per-channel linear stretch from min/max
+                y = acc_ref[...]
+                planes = []
+                for ch in range(3):
+                    p = y[ch]
+                    lo = jnp.min(p)
+                    hi = jnp.max(p)
+                    scale = 255.0 / jnp.maximum(hi - lo, 1e-9)
+                    st = jnp.floor(jnp.clip((p - lo) * scale, 0.0, 255.0))
+                    planes.append(jnp.where(hi > lo, st, p)[None])
+                acc_ref[...] = jnp.concatenate(planes, axis=0)
+
+            @pl.when(op == 1.0)
+            def _equalize():
+                acc_ref[...] = _equalize_image(acc_ref[...], H, W)
+
+            a = sc(0)
+            b = sc(1)
+            c_mean = sc(2)
+            enh_active = (a != 1.0) | (b != 0.0) | (c_mean != 0.0)
+
+            @pl.when(enh_active)
+            def _enhance():
+                # stage 2: out = a*y + b*round(luma) + c*mean_l
+                y = acc_ref[...]
+                luma = jnp.floor(
+                    LUMA_R * y[0] + LUMA_G * y[1] + LUMA_B * y[2] + 0.5
+                )
+                mean_l = jnp.floor(jnp.sum(luma) / (H * W) + 0.5)
+                acc_ref[...] = a * y + b * luma[None, :, :] + (c_mean * mean_l)
+
+            @pl.when(sc(3) != 1.0)
+            def _sharp():
+                # stage 3: sharpness blend (PIL SMOOTH, border kept)
+                y = acc_ref[...]
+                sharp_f = sc(3)
+                p = jnp.pad(y, ((0, 0), (1, 1), (1, 1)))
+                acc = 5.0 * y
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dy == 0 and dx == 0:
+                            continue
+                        acc = acc + p[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+                sm = acc / 13.0
+                row_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+                col_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+                border = (
+                    (row_i == 0) | (row_i == H - 1)
+                    | (col_i == 0) | (col_i == W - 1)
+                )[None, :, :]
+                sm = jnp.where(border, y, sm)
+                acc_ref[...] = sm + sharp_f * (y - sm)
+
+            # stage 4: up-to-3-pass shear warp; a pass with zero slope AND
+            # zero offset maps src=dst with frac=0 -> exact identity, skip
+            def warp_pass(slope, center, offset, axis):
+                @pl.when((slope != 0.0) | (offset != 0.0))
+                def _pass():
+                    z = jnp.zeros((1, H, W), jnp.float32)
+                    fill_b = jnp.concatenate(
+                        [z + sc(12), z + sc(13), z + sc(14)], axis=0
+                    )
+                    acc_ref[...] = _resample_pass(
+                        acc_ref[...], slope, center, offset, axis, fill_b
+                    )
+
+            cy = (H - 1) / 2.0
+            warp_pass(sc(4), sc(5), sc(6), 2)
+            warp_pass(sc(7), sc(8), sc(9), 1)
+            warp_pass(sc(10), cy, 0.0, 2)
+
+            # clip + inter-layer PIL rounding
+            o_ref[0] = jnp.round(
+                jnp.clip(acc_ref[...], 0.0, 255.0)
+            ).astype(o_ref.dtype)
 
     return kernel
 
 
-def layer_params(op, mag, sign, hist, H: int, fill: Sequence[float]):
-    """Per-image LUT + scalar vector from the sampled (op, mag, sign) —
-    mirrors the op-conditional logic of randaugment_layer in plain JAX."""
+def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float]):
+    """(B,24) per-image scalar vector from the sampled (op, mag, sign) —
+    mirrors the op-conditional logic of randaugment_layer in plain JAX.
+    All full-image work happens in the kernel; this is O(B) math."""
     B = op.shape[0]
-    lut = RA._identity_lut(B)
-    lut = jnp.where((op == 0)[:, None, None], RA._autocontrast_lut(hist), lut)
-    lut = jnp.where((op == 1)[:, None, None], RA._equalize_lut(hist), lut)
-    lut = jnp.where((op == 2)[:, None, None], RA._invert_lut(B), lut)
-    lut = jnp.where((op == 4)[:, None, None], RA._posterize_lut(B, mag), lut)
-    lut = jnp.where((op == 5)[:, None, None], RA._solarize_lut(B, mag), lut)
-    lut = jnp.where((op == 6)[:, None, None], RA._solarize_add_lut(B, mag), lut)
-
     f = RA._enhance_factor(mag)
     a = jnp.where((op == 7) | (op == 8) | (op == 9), f, 1.0)
     b = jnp.where(op == 7, 1.0 - f, 0.0)
@@ -187,14 +326,71 @@ def layer_params(op, mag, sign, hist, H: int, fill: Sequence[float]):
     p2_center = jnp.where(is_rot, cy, 0.0)
     p2_offset = jnp.where(is_rot, 0.0, mf)
     p3_slope = jnp.where(is_rot, -tan_half, 0.0)
-    return lut, (a, b, c_mean, sharp_f, p1_slope, p1_center, p1_offset,
-                 p2_slope, p2_center, p2_offset, p3_slope)
+
+    # LUT-op parameters (RA._posterize_lut / _solarize_lut / _solarize_add_lut)
+    bits_to_keep = jnp.floor(mag / RA.MAX_LEVEL * 4)
+    post_scale = jnp.exp2(8.0 - bits_to_keep)  # 2^bits_dropped, exact
+    solar_th = jnp.floor(mag / RA.MAX_LEVEL * 256)
+    sadd_add = jnp.floor(mag / RA.MAX_LEVEL * 110)
+
+    fill_v = jnp.asarray(fill, jnp.float32)
+    cols = [a, b, c_mean, sharp_f,
+            p1_slope, p1_center, p1_offset,
+            p2_slope, p2_center, p2_offset, p3_slope,
+            apply.astype(jnp.float32),
+            jnp.full((B,), fill_v[0]), jnp.full((B,), fill_v[1]),
+            jnp.full((B,), fill_v[2]),
+            op.astype(jnp.float32), post_scale, solar_th, sadd_add]
+    cols += [jnp.zeros((B,))] * (24 - len(cols))
+    return jnp.stack(cols, axis=1)  # (B, 24)
+
+
+def ra_layer_from_draws(x: jax.Array, op: jax.Array, mag: jax.Array,
+                        sign: jax.Array, apply: jax.Array,
+                        fill: Sequence[float], interpret: bool = False,
+                        out_dtype=jnp.float32) -> jax.Array:
+    """Kernel entry with the per-image (op, mag, sign, apply) draws
+    supplied by the caller — used by ra_layer_pallas and by the per-op
+    forced-coverage tests."""
+    B, C, H, W = x.shape
+    scalars = layer_scalars(op, mag, sign, apply, H, fill)
+
+    kernel = _make_kernel(H, W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scalars (B,24) live whole in SMEM
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, H, W), lambda i, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, H, W), lambda i, s: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, H, W), jnp.float32)],
+    )
+    # donate x into the output when dtypes match: each grid step reads its
+    # image block before writing the block back, and the caller never
+    # reuses x — saves XLA's carry-preservation copy (~1.2 ms at BS128)
+    alias = {1: 0} if x.dtype == out_dtype else {}
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 3, H, W), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        input_output_aliases=alias,
+        interpret=interpret,
+    )(scalars, x)
+    return out
 
 
 def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                     magnitude_std: float, fill: Sequence[float],
-                    prob: float = 0.5, interpret: bool = False) -> jax.Array:
-    """One RandAugment layer on (B,3,H,W) float images in [0,255]."""
+                    prob: float = 0.5, interpret: bool = False,
+                    out_dtype=jnp.float32) -> jax.Array:
+    """One RandAugment layer on (B,3,H,W) integer-valued images in
+    [0,255] (any float dtype; bf16 in/out is exact for integers and
+    halves HBM traffic when chaining layers)."""
     B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
     op = jax.random.randint(k_op, (B,), 0, RA.N_OPS)
@@ -204,43 +400,5 @@ def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
         0.0, RA.MAX_LEVEL,
     )
     sign = jax.random.bernoulli(k_sign, 0.5, (B,))
-
-    x_int = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
-    hist = RA._histograms(x_int)
-    lut, scal = layer_params(op, mag, sign, hist, H, fill)
-    fill_v = jnp.asarray(fill, jnp.float32)
-    scalars = jnp.stack(
-        [*scal, apply.astype(jnp.float32),
-         jnp.full((B,), fill_v[0]), jnp.full((B,), fill_v[1]),
-         jnp.full((B,), fill_v[2]), jnp.zeros((B,))],
-        axis=1,
-    )  # (B, 16)
-
-    # stage 1 in XLA (fast one-hot contraction; Mosaic reshape rules block
-    # the in-kernel variant), stages 2-4 fused in the kernel; bf16 transfer
-    # is exact (integer LUT values) and halves the HBM handoff
-    y_lut = RA._apply_lut(lut, x_int, out_dtype=jnp.bfloat16)
-
-    kernel = _make_kernel(H, W)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # scalars (B,16) live whole in SMEM
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 3, H, W), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, H, W), lambda i, s: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 3, H, W), lambda i, s: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(scalars, y_lut, x.astype(jnp.bfloat16))
-    return out
+    return ra_layer_from_draws(x, op, mag, sign, apply, fill,
+                               interpret=interpret, out_dtype=out_dtype)
