@@ -143,6 +143,53 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
     return batch_size * steps / dt / n_chips
 
 
+def bench_teacher_histo(batch_size=64, image_size=512, steps=20, warmup=5):
+    """Canonical config #1: vanilla effiB0 teacher on 512px histo patches
+    (scripts/run_vanilla.sh), full RandAugment train transform."""
+    from moma_tpu.core.config import Config
+    from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.histo_augment import make_histo_augment
+    from moma_tpu.models import create_model
+    from moma_tpu.train.state import TrainState, make_sgd
+    from moma_tpu.train.steps import make_vanilla_train_step
+
+    cfg = Config()
+    cfg.data.dataset = "prostate_hv"
+    cfg.data.batch_size = batch_size
+    cfg.data.image_size = image_size
+    cfg.model_s.n_cls = 4
+
+    mesh = create_mesh()
+    model = create_model("effiB0", num_classes=4, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, image_size, image_size, 3), jnp.bfloat16), train=False
+    )
+    tx = make_sgd(lr_schedule(0.05, 50, 100, cosine=True), 0.9, 1e-4)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step_fn = make_vanilla_train_step(
+        augment_fn=make_histo_augment(cfg), donate=True)
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": jax.device_put(
+            rs.randint(0, 256, (batch_size, image_size, image_size, 3),
+                       dtype=np.uint8),
+            data_sharding(mesh),
+        ),
+        "label": jax.device_put(
+            rs.randint(0, 4, (batch_size,)).astype(np.int32),
+            data_sharding(mesh, ndim=1),
+        ),
+    }
+    dt = _time_steps(step_fn, state, batch, jax.random.PRNGKey(1), steps, warmup)
+    return batch_size * steps / dt / len(jax.devices())
+
+
 def bench_cifar(batch_size=512, steps=50, warmup=10):
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -191,6 +238,10 @@ def main():
         print(f"[extra] cifar resnet32x4 train: {cifar:.1f} img/s/chip "
               f"({cifar / ASSUMED_REF['cifar_resnet32x4_bs512']:.2f}x est. ref)",
               file=sys.stderr)
+        t64 = bench_teacher_histo(batch_size=64)
+        t128 = bench_teacher_histo(batch_size=128)
+        print(f"[extra] vanilla teacher effiB0@512 (config #1): "
+              f"{t64:.1f} img/s/chip BS64, {t128:.1f} BS128", file=sys.stderr)
     print(
         json.dumps(
             {
