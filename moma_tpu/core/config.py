@@ -221,7 +221,7 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--save_dir", type=str, default="./save")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
-    p.add_argument("--bn", type=str, default="global",
+    p.add_argument("--bn", type=str, default=None,
                    choices=["global", "local", "sync"],
                    help="BN execution mode: 'global' jitted global-batch "
                         "stats (default), 'local' per-device stats + real "
@@ -252,6 +252,19 @@ def _add_common_flags(p: argparse.ArgumentParser):
                        help=f"accepted for reference compatibility, ignored: {why}")
 
 
+def _resolve_bn(a) -> str:
+    """--bn and the legacy --sync_bn alias must agree; an explicit
+    --bn global/local combined with --sync_bn is a contradiction and
+    errors rather than being silently overridden."""
+    if a.bn is None:
+        return "sync" if a.sync_bn else "global"
+    if a.sync_bn and a.bn != "sync":
+        raise SystemExit(
+            f"--sync_bn contradicts --bn {a.bn}: drop one "
+            "(--sync_bn is an alias for --bn sync)")
+    return a.bn
+
+
 def _cfg_from_common(a) -> Config:
     cfg = Config()
     cfg.data = DataConfig(
@@ -280,7 +293,7 @@ def _cfg_from_common(a) -> Config:
         trial=a.trial,
         skip_test=a.skip_test,
         half_precision=not a.fp32,
-        bn="sync" if a.sync_bn else a.bn,
+        bn=_resolve_bn(a),
         model_parallel=a.model_parallel,
         resume=a.resume,
         profile_dir=a.profile_dir,

@@ -42,9 +42,12 @@ def init_distributed(coordinator: str | None = None,
     explicit = coordinator is not None or num_processes is not None
     # NOTE: must not touch the backend before initialize() (jax.devices/
     # default_backend would initialize XLA) — read the config value only
-    platforms = getattr(jax.config, "jax_platforms", None) or ""
-    if explicit and "cpu" in str(platforms):
-        # cross-process CPU collectives need the gloo implementation
+    platforms = str(getattr(jax.config, "jax_platforms", None) or "")
+    if explicit and ("cpu" in platforms or not platforms):
+        # Cross-process CPU collectives need the gloo implementation.
+        # Empty `platforms` means the backend default may still resolve
+        # to CPU, so configure gloo then too — the flag only affects the
+        # CPU backend, a TPU/GPU resolution ignores it.
         try:
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         except Exception:

@@ -406,6 +406,10 @@ def rand_augment(
     kernel (ops/pallas_randaugment.py) — default on TPU.
     """
     x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
+    # PIL feeds RandAugment uint8 (RRC quantizes before it); fractional
+    # inputs (our device-side bilinear RRC) are quantized HERE in f32 —
+    # a bf16 cast first would double-round (101.49 -> 101.5 -> 102)
+    x = jnp.round(x)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform != "cpu"
     if use_pallas:

@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from moma_tpu.losses.functional import l2_normalize
 from moma_tpu.models.common import TorchLinear
+from moma_tpu.ops.fused_bn import current_bn_axis
 
 
 class BatchTokenAttention(nn.Module):
@@ -97,8 +98,12 @@ class ProjectionHead(nn.Module):
         elif self.head == "mlp_byol":
             d = x.shape[-1]
             x = TorchLinear(d, dtype=self.dtype)(x)
+            # axis_name read at TRACE time so bn='sync' (the
+            # bn_axis_name() context in train/moma.py) also pmeans this
+            # 1-D head's stats, not just the backbones' FusedBatchNorms
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype)(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             axis_name=current_bn_axis())(x)
             x = nn.relu(x)
             x = TorchLinear(self.feat_dim, dtype=self.dtype)(x)
         elif self.head == "linear":

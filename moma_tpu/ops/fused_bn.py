@@ -100,6 +100,13 @@ def bn_axis_name(name: Optional[str]):
         _DEFAULT_AXIS_NAME = prev
 
 
+def current_bn_axis() -> Optional[str]:
+    """The active bn_axis_name() default (None outside the context).
+    For modules that use plain flax BatchNorm (e.g. the 1-D mlp_byol
+    projection head) and must still join sync-BN reductions."""
+    return _DEFAULT_AXIS_NAME
+
+
 def _resolved_mode() -> str:
     """'flax' | 'xla' | 'pallas' after resolving aliases and 'auto'."""
     m = {"off": "flax", "on": "pallas"}.get(_MODE, _MODE)

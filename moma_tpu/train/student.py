@@ -61,6 +61,14 @@ def run_student(cfg: Config, synthetic: bool = False):
             "shards the negative queue over the 'model' axis); the "
             "comparison distillers are pure data-parallel"
         )
+    if cfg.run.bn != "global":
+        # only the MoMA step has the shard_map execution path; accepting
+        # the flag here would silently train with global-batch BN
+        raise ValueError(
+            f"--bn {cfg.run.bn} is only wired for --distill moma "
+            "(shard_map per-device execution); the comparison distillers "
+            "run jitted global-batch BN"
+        )
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

@@ -122,6 +122,42 @@ def test_reference_command_lines_parse():
     assert cfg.model_s.n_cls == cfg.model_t.n_cls == 4
 
 
+def test_bn_flag_resolution():
+    """--sync_bn is an alias for --bn sync; combining it with an explicit
+    contradictory --bn errors instead of silently overriding, and the
+    unwired bn modes are rejected loudly outside --distill moma."""
+    import pytest
+
+    from moma_tpu.core.config import parse_student_args, parse_teacher_args
+
+    assert parse_teacher_args("--model resnet8".split()).run.bn == "global"
+    assert parse_teacher_args(
+        "--model resnet8 --sync_bn".split()).run.bn == "sync"
+    assert parse_teacher_args(
+        "--model resnet8 --bn sync --sync_bn".split()).run.bn == "sync"
+    assert parse_teacher_args(
+        "--model resnet8 --bn local".split()).run.bn == "local"
+    with pytest.raises(SystemExit):
+        parse_teacher_args("--model resnet8 --bn local --sync_bn".split())
+
+    from moma_tpu.train.student import run_student
+    from moma_tpu.train.teacher import run_teacher
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = parse_teacher_args(
+            f"--model resnet8 --bn local --save_dir {td}".split())
+        with pytest.raises(ValueError, match="only wired for --distill moma"):
+            run_teacher(cfg, synthetic=True)
+        cfg = parse_student_args(
+            "--model_s resnet8 --model_t resnet8 --distill kd --bn sync "
+            f"--save_dir {td}".split()
+        )
+        with pytest.raises(ValueError, match="only wired for --distill moma"):
+            run_student(cfg, synthetic=True)
+
+
 def test_n_cls_flag_beats_dataset_table():
     """Explicit --n_cls overrides the dataset map even for known datasets
     (the reference builds its models from opt.n_cls unconditionally — its

@@ -130,7 +130,7 @@ def _build_state(snap, memory_np, mesh):
     return state, heads, conv_s, conv_t, conv_cmo
 
 
-def _step_cfg(bn: str):
+def _step_cfg(bn: str, head: str = "mlp"):
     from moma_tpu.core.config import Config, DistillConfig, ModelConfig, MomaConfig
 
     cfg = Config()
@@ -139,7 +139,7 @@ def _step_cfg(bn: str):
     cfg.distill = DistillConfig(distill="moma", cls=C_CLS, div=C_DIV,
                                 beta=C_BETA, kd_T=KD_T)
     cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=T_NCE, alpha=ALPHA,
-                          mem="MoCo", head="mlp", attn="self",
+                          mem="MoCo", head=head, attn="self",
                           shuffle_bn=True, kl_teacher_bn="eval")
     cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
     cfg.model_t = ModelConfig(name="resnet8", n_cls=N_CLS)
@@ -284,7 +284,7 @@ def test_ema_teacher_and_bn_stats(two_rank_ref, local_bn_ours):
 # ---------------------------------------------------------- cheap invariants
 
 
-def _mini_setup(bn: str, mesh, perm=None, seed=3):
+def _mini_setup(bn: str, mesh, perm=None, seed=3, head="mlp"):
     from moma_tpu.core.mesh import data_sharding
     from moma_tpu.train.moma import make_moma_train_step
 
@@ -306,7 +306,7 @@ def _mini_setup(bn: str, mesh, perm=None, seed=3):
     sample = jnp.zeros((2, HW, HW, 3))
     vars_s = model.init(jax.random.fold_in(rng, 0), sample, train=False)
     vars_t = model.init(jax.random.fold_in(rng, 1), sample, train=False)
-    heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=S_DIM,
+    heads = CMOHeads(head=head, attn="self", feat_dim=FEAT, s_dim=S_DIM,
                      t_dim=S_DIM)
     cmo_params, cmo_bs = heads.init(jax.random.fold_in(rng, 2))
     queue = QueueState(
@@ -323,7 +323,7 @@ def _mini_setup(bn: str, mesh, perm=None, seed=3):
         apply_fn=model.apply, teacher_apply_fn=model.apply,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
-    cfg = _step_cfg(bn)
+    cfg = _step_cfg(bn, head=head)
     step_fn = make_moma_train_step(cfg, heads, augment_fn=None, donate=False,
                                    mesh=mesh)
     batch = {
@@ -343,6 +343,24 @@ def test_sync_equals_global(mesh8):
     )
     fn_g, st_g, b_g = _mini_setup("global", mesh2)
     fn_s, st_s, b_s = _mini_setup("sync", mesh2)
+    _, m_g = fn_g(st_g, b_g, jax.random.PRNGKey(7))
+    _, m_s = fn_s(st_s, b_s, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_g["loss"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(m_s["loss_kd"]), float(m_g["loss_kd"]),
+                               rtol=1e-3)
+
+
+def test_sync_equals_global_byol_head(mesh8):
+    """The mlp_byol projection head uses plain flax BatchNorm (1-D); under
+    bn='sync' its stats must join the cross-device pmean like every
+    backbone FusedBatchNorm (regression: the bn_axis_name() context only
+    covered FusedBatchNorm, leaving the head's BN per-device)."""
+    from moma_tpu.core.mesh import create_mesh
+
+    mesh2 = create_mesh(jax.devices()[:2])
+    fn_g, st_g, b_g = _mini_setup("global", mesh2, head="mlp_byol")
+    fn_s, st_s, b_s = _mini_setup("sync", mesh2, head="mlp_byol")
     _, m_g = fn_g(st_g, b_g, jax.random.PRNGKey(7))
     _, m_s = fn_s(st_s, b_s, jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(m_s["loss"]), float(m_g["loss"]),
