@@ -302,7 +302,8 @@ def _make_kernel(H: int, W: int):
     return kernel
 
 
-def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float]):
+def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float],
+                  W: int | None = None):
     """(B,24) per-image scalar vector from the sampled (op, mag, sign) —
     mirrors the op-conditional logic of randaugment_layer in plain JAX.
     All full-image work happens in the kernel; this is O(B) math."""
@@ -319,11 +320,15 @@ def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float]):
     sin_psi = md
     tan_half = sin_psi / (1.0 + jnp.maximum(ma, 1e-6))
     cy = (H - 1) / 2.0
+    cx = cy if W is None else (W - 1) / 2.0
     p1_slope = jnp.where(is_rot, -tan_half, mb)
     p1_center = jnp.where(is_rot, cy, 0.0)
     p1_offset = jnp.where(is_rot, 0.0, mc)
+    # pass 2 shifts along columns -> its rotation center is cx, not cy
+    # (identical for the square images every pipeline feeds; matches the
+    # XLA path randaugment.py p2_center=cx for non-square inputs)
     p2_slope = jnp.where(is_rot, sin_psi, md)
-    p2_center = jnp.where(is_rot, cy, 0.0)
+    p2_center = jnp.where(is_rot, cx, 0.0)
     p2_offset = jnp.where(is_rot, 0.0, mf)
     p3_slope = jnp.where(is_rot, -tan_half, 0.0)
 
@@ -353,7 +358,7 @@ def ra_layer_from_draws(x: jax.Array, op: jax.Array, mag: jax.Array,
     supplied by the caller — used by ra_layer_pallas and by the per-op
     forced-coverage tests."""
     B, C, H, W = x.shape
-    scalars = layer_scalars(op, mag, sign, apply, H, fill)
+    scalars = layer_scalars(op, mag, sign, apply, H, fill, W=W)
 
     kernel = _make_kernel(H, W)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -68,6 +68,20 @@ def _images():
 @pytest.mark.parametrize("mag", [0.0, 4.9, 10.0])
 def test_forced_op_matches_xla(opid, mag):
     x = _images()
+    _check_forced(x, opid, mag)
+
+
+@pytest.mark.parametrize("opid", [3, 11, 12, 13, 14])
+def test_forced_affine_nonsquare(opid):
+    """Geometric ops on a non-square image: pass 2 of the rotate shear
+    ladder runs along columns, so its center is cx, not cy — a latent
+    bug when H != W (every shipped pipeline is square)."""
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randint(0, 256, (4, 3, 24, 40)).astype(np.float32))
+    _check_forced(x, opid, 10.0)
+
+
+def _check_forced(x, opid, mag):
     B = x.shape[0]
     op = jnp.full((B,), opid, jnp.int32)
     magv = jnp.full((B,), mag, jnp.float32)
