@@ -38,10 +38,13 @@ def make_histo_augment(cfg):
         x = images.astype(jnp.float32)
         if use_rrc:
             x = random_resized_crop(x, k1, image_size, scale=(crop_lo, 1.0))
-        x = random_hflip(x, k2)
         if use_ra:
+            # the hflip rides rand_augment (same k2 bernoulli draw as
+            # random_hflip; fused into the Pallas layer-1 kernel on TPU)
             x = rand_augment(x, k3, num_layers=2, magnitude=10.0,
-                             magnitude_std=0.5, fill=RA_FILL)
+                             magnitude_std=0.5, fill=RA_FILL, hflip_rng=k2)
+        else:
+            x = random_hflip(x, k2)
         return normalize(x / 255.0, IMAGENET_MEAN, IMAGENET_STD)
 
     return augment

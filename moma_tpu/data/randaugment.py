@@ -396,6 +396,7 @@ def rand_augment(
     magnitude_std: float = 0.5,
     fill: Sequence[float] = (124.0, 116.0, 104.0),
     use_pallas: bool | None = None,
+    hflip_rng: jax.Array | None = None,
 ) -> jax.Array:
     """rand-n{num_layers}-m{magnitude}-mstd{magnitude_std} on a uint8/float
     NHWC batch; returns float32 NHWC in [0,255].  PIL quantizes to uint8
@@ -404,15 +405,25 @@ def rand_augment(
 
     use_pallas: route each layer through the fused VMEM-resident Pallas
     kernel (ops/pallas_randaugment.py) — default on TPU.
+
+    hflip_rng: fold the pipeline's preceding RandomHorizontalFlip(p=0.5)
+    into this stage (same bernoulli draw as augment.random_hflip with
+    this key).  On the Pallas path the flip rides layer 1's kernel (an
+    in-kernel MXU anti-diagonal matmul) instead of a standalone XLA
+    `rev` pass over the whole batch (~2.6 ms at BS128@512^2); flip
+    commutes with the entry rounding, so semantics are identical.
     """
     x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
     # PIL feeds RandAugment uint8 (RRC quantizes before it); fractional
     # inputs (our device-side bilinear RRC) are quantized HERE in f32 —
     # a bf16 cast first would double-round (101.49 -> 101.5 -> 102)
     x = jnp.round(x)
+    hflip = None
+    if hflip_rng is not None:
+        hflip = jax.random.bernoulli(hflip_rng, 0.5, (x.shape[0],))
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform != "cpu"
-    if use_pallas:
+    if use_pallas and num_layers > 0:
         from moma_tpu.ops.pallas_randaugment import ra_layer_pallas
 
         # bf16 carry between layers: every inter-layer image is rounded
@@ -422,9 +433,14 @@ def rand_augment(
             x = ra_layer_pallas(
                 x, jax.random.fold_in(rng, i), magnitude, magnitude_std,
                 fill, out_dtype=jnp.bfloat16,
+                hflip=hflip if i == 0 else None,
             )
         x = x.astype(jnp.float32)
     else:
+        if hflip is not None:
+            # NCHW: W is axis 3 (augment.random_hflip flips the same
+            # axis pre-transpose; flip commutes with round)
+            x = jnp.where(hflip[:, None, None, None], x[..., ::-1], x)
         for i in range(num_layers):
             x = randaugment_layer(
                 x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill

@@ -45,7 +45,14 @@ Scalar layout per image (f32[24], SMEM):
   7 p2_slope  8 p2_center 9 p2_offset
   10 p3_slope 11 apply    12..14 fill RGB
   15 op_id    16 post_scale (2^bits_dropped)
-  17 solar_th 18 sadd_add 19..23 (pad)
+  17 solar_th 18 sadd_add 19 hflip    20..23 (pad)
+
+The hflip scalar folds the pipeline's RandomHorizontalFlip into layer 1
+(histo_augment.py feeds the flip rng through rand_augment): XLA's
+standalone `rev` pass costs ~2.6 ms at BS128@512^2 (a full HBM round
+trip of the batch), while in-kernel the flip is an anti-diagonal matmul
+on the MXU (Mosaic does not lower lane-axis `rev`) — exact for
+integer-valued images, ~4 us/image, and predicated to flipped images.
 """
 
 from __future__ import annotations
@@ -175,6 +182,22 @@ def _equalize_image(img, H: int, W: int):
     return jax.lax.fori_loop(0, 256, apply_body, img)
 
 
+def _hflip_w(y, W: int):
+    """Horizontal flip of (3,H,W) via an anti-diagonal (exchange-matrix)
+    matmul — Mosaic does not lower lane-axis `rev`, but the MXU reverses
+    lanes for free.  Exact for integer-valued images: each output pixel
+    is a single 1.0*value product accumulated in f32."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    exch = (i0 + i1 == W - 1).astype(jnp.bfloat16)
+    planes = [
+        jax.lax.dot(y[ch].astype(jnp.bfloat16), exch,
+                    preferred_element_type=jnp.float32)[None]
+        for ch in range(3)
+    ]
+    return jnp.concatenate(planes, axis=0)
+
+
 def _make_kernel(H: int, W: int):
     def kernel(scal_all_ref, x_ref, o_ref, acc_ref):
         i = pl.program_id(0)
@@ -183,11 +206,18 @@ def _make_kernel(H: int, W: int):
             return scal_all_ref[i, j]
 
         gate = sc(11) > 0.5
+        flip = sc(19) > 0.5
 
-        @pl.when(jnp.logical_not(gate))
+        @pl.when(jnp.logical_not(gate) & jnp.logical_not(flip))
         def _skip():
             # untouched image when the op is skipped (prob gate)
             o_ref[0] = x_ref[0].astype(o_ref.dtype)
+
+        @pl.when(jnp.logical_not(gate) & flip)
+        def _skip_flipped():
+            o_ref[0] = _hflip_w(
+                x_ref[0].astype(jnp.float32), W
+            ).astype(o_ref.dtype)
 
         @pl.when(gate)
         def _apply():
@@ -196,6 +226,10 @@ def _make_kernel(H: int, W: int):
             acc_ref[...] = jnp.clip(
                 jnp.round(x_ref[0].astype(jnp.float32)), 0.0, 255.0
             )
+
+            @pl.when(flip)
+            def _flip():
+                acc_ref[...] = _hflip_w(acc_ref[...], W)
 
             op = sc(15)
 
@@ -303,7 +337,7 @@ def _make_kernel(H: int, W: int):
 
 
 def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float],
-                  W: int | None = None):
+                  W: int | None = None, hflip=None):
     """(B,24) per-image scalar vector from the sampled (op, mag, sign) —
     mirrors the op-conditional logic of randaugment_layer in plain JAX.
     All full-image work happens in the kernel; this is O(B) math."""
@@ -345,7 +379,9 @@ def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float],
             apply.astype(jnp.float32),
             jnp.full((B,), fill_v[0]), jnp.full((B,), fill_v[1]),
             jnp.full((B,), fill_v[2]),
-            op.astype(jnp.float32), post_scale, solar_th, sadd_add]
+            op.astype(jnp.float32), post_scale, solar_th, sadd_add,
+            (jnp.zeros((B,)) if hflip is None
+             else hflip.astype(jnp.float32))]
     cols += [jnp.zeros((B,))] * (24 - len(cols))
     return jnp.stack(cols, axis=1)  # (B, 24)
 
@@ -353,12 +389,13 @@ def layer_scalars(op, mag, sign, apply, H: int, fill: Sequence[float],
 def ra_layer_from_draws(x: jax.Array, op: jax.Array, mag: jax.Array,
                         sign: jax.Array, apply: jax.Array,
                         fill: Sequence[float], interpret: bool = False,
-                        out_dtype=jnp.float32) -> jax.Array:
+                        out_dtype=jnp.float32, hflip=None) -> jax.Array:
     """Kernel entry with the per-image (op, mag, sign, apply) draws
     supplied by the caller — used by ra_layer_pallas and by the per-op
-    forced-coverage tests."""
+    forced-coverage tests.  hflip: optional (B,) bool — flip the image
+    before the op (the fused RandomHorizontalFlip stage)."""
     B, C, H, W = x.shape
-    scalars = layer_scalars(op, mag, sign, apply, H, fill, W=W)
+    scalars = layer_scalars(op, mag, sign, apply, H, fill, W=W, hflip=hflip)
 
     kernel = _make_kernel(H, W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -392,10 +429,11 @@ def ra_layer_from_draws(x: jax.Array, op: jax.Array, mag: jax.Array,
 def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                     magnitude_std: float, fill: Sequence[float],
                     prob: float = 0.5, interpret: bool = False,
-                    out_dtype=jnp.float32) -> jax.Array:
+                    out_dtype=jnp.float32, hflip=None) -> jax.Array:
     """One RandAugment layer on (B,3,H,W) integer-valued images in
     [0,255] (any float dtype; bf16 in/out is exact for integers and
-    halves HBM traffic when chaining layers)."""
+    halves HBM traffic when chaining layers).  hflip: optional (B,) bool
+    horizontal-flip bits applied before the layer's op."""
     B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
     op = jax.random.randint(k_op, (B,), 0, RA.N_OPS)
@@ -406,4 +444,5 @@ def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
     )
     sign = jax.random.bernoulli(k_sign, 0.5, (B,))
     return ra_layer_from_draws(x, op, mag, sign, apply, fill,
-                               interpret=interpret, out_dtype=out_dtype)
+                               interpret=interpret, out_dtype=out_dtype,
+                               hflip=hflip)

@@ -38,3 +38,36 @@ def test_pallas_layer_prob_gate_identity():
     got = ra_layer_pallas(x, jax.random.PRNGKey(0), 10.0, 0.5, FILL,
                           prob=0.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=0)
+
+
+@pytest.mark.parametrize("prob", [0.0, 0.5, 1.0])
+def test_pallas_layer_fused_hflip(prob):
+    """The in-kernel MXU flip must equal flipping the input first —
+    exactly (each flipped pixel is one 1.0*value product) — across
+    skipped, mixed, and all-applied gates."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randint(0, 256, (6, 3, 16, 32)).astype(np.float32))
+    hflip = jnp.asarray([True, False, True, True, False, False])
+    rng = jax.random.PRNGKey(9)
+    want = ra_layer_pallas(
+        jnp.where(hflip[:, None, None, None], x[..., ::-1], x),
+        rng, 10.0, 0.5, FILL, prob=prob, interpret=True)
+    got = ra_layer_pallas(x, rng, 10.0, 0.5, FILL, prob=prob,
+                          interpret=True, hflip=hflip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_rand_augment_hflip_rng_xla_path():
+    """rand_augment(hflip_rng=k) on the XLA path must equal
+    random_hflip(x, k) |> rand_augment — bit-identical draws."""
+    from moma_tpu.data.augment import random_hflip
+
+    rs = np.random.RandomState(11)
+    x_nhwc = jnp.asarray(rs.randint(0, 256, (8, 20, 20, 3)).astype(np.float32))
+    k_flip = jax.random.PRNGKey(3)
+    k_ra = jax.random.PRNGKey(4)
+    want = RA.rand_augment(random_hflip(x_nhwc, k_flip), k_ra,
+                           use_pallas=False)
+    got = RA.rand_augment(x_nhwc, k_ra, use_pallas=False,
+                          hflip_rng=k_flip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
