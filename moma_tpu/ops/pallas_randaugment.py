@@ -146,21 +146,30 @@ def _equalize_image(img, H: int, W: int):
     in-kernel (matches RA._equalize_lut + LUT apply bit-for-bit: same
     float formulas).  All three channels ride each 256-iteration loop
     together — one fused (3,H,W) compare + one (3,1,1) reduction per
-    value instead of three scalar reduction trees.  Cost ~0.5 ms/image
-    on v5e — predicated to the ~3%% of images that draw Equalize."""
+    value instead of three scalar reduction trees.  Cost ~0.29 ms/image
+    on v5e (0.55 before the 16x16 unroll) — predicated to the ~3%% of
+    images that draw Equalize."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
     iota_f = iota.astype(jnp.float32)
 
-    def hist_body(v, h3):  # h3 (3,1,256)
-        v_f = v.astype(jnp.float32)
-        m = jnp.where(img == v_f, 1.0, 0.0)
-        # chained lane-then-sublane reduces (Mosaic: no cross-plane reduce)
-        cnt = jnp.sum(jnp.sum(m, axis=2, keepdims=True),
-                      axis=1, keepdims=True)  # (3,1,1)
-        return h3 + cnt * jnp.where(iota == v, 1.0, 0.0)
+    # 16 outer steps x 16 inline values: Mosaic supports only unroll=1
+    # or full unroll for in-kernel loops, and the 256-step loop's
+    # per-iteration overhead dominates its tiny body — hand-unrolling
+    # 16 values per step recovers the vector-unit pipelining.
+    def hist_body(i, h3):  # h3 (3,1,256)
+        v0 = i * 16
+        for j in range(16):
+            v = v0 + j
+            v_f = v.astype(jnp.float32)
+            m = jnp.where(img == v_f, 1.0, 0.0)
+            # chained lane-then-sublane reduces (no cross-plane reduce)
+            cnt = jnp.sum(jnp.sum(m, axis=2, keepdims=True),
+                          axis=1, keepdims=True)  # (3,1,1)
+            h3 = h3 + cnt * jnp.where(iota == v, 1.0, 0.0)
+        return h3
 
     hist = jax.lax.fori_loop(
-        0, 256, hist_body, jnp.zeros((3, 1, 256), jnp.float32))
+        0, 16, hist_body, jnp.zeros((3, 1, 256), jnp.float32))
     nonzero = hist > 0.0
     last_idx = jnp.max(jnp.where(nonzero, iota_f, -1.0),
                        axis=2, keepdims=True)  # (3,1,1)
@@ -174,12 +183,16 @@ def _equalize_image(img, H: int, W: int):
     lut = jnp.clip(lut, 0.0, 255.0)
     lut = jnp.where(step > 0.0, lut, iota_f)  # step==0 -> identity
 
-    def apply_body(v, acc):  # acc (3,H,W)
-        lv = jnp.sum(jnp.where(iota == v, lut, 0.0),
-                     axis=2, keepdims=True)  # (3,1,1) = lut[:,v]
-        return jnp.where(img == v.astype(jnp.float32), lv, acc)
+    def apply_body(i, acc):  # acc (3,H,W); same 16x16 unroll as hist
+        v0 = i * 16
+        for j in range(16):
+            v = v0 + j
+            lv = jnp.sum(jnp.where(iota == v, lut, 0.0),
+                         axis=2, keepdims=True)  # (3,1,1) = lut[:,v]
+            acc = jnp.where(img == v.astype(jnp.float32), lv, acc)
+        return acc
 
-    return jax.lax.fori_loop(0, 256, apply_body, img)
+    return jax.lax.fori_loop(0, 16, apply_body, img)
 
 
 def _hflip_w(y, W: int):
