@@ -15,7 +15,7 @@ v2 moves ALL of stage 1 into the kernel, eliminating the XLA machinery:
     VMEM-resident reductions, then the same linear stretch,
   * equalize is the ONLY true table op: per-channel 256-bin histogram,
     prefix-sum ladder, and a 256-iteration select-apply loop, all inside
-    the kernel.  This is the one expensive path (~0.2 ms/image) but it
+    the kernel.  This is the one expensive path (~0.29 ms/image) but it
     is PREDICATED: only images that drew op==Equalize AND passed the
     prob gate pay it (~1/30 of images).
 
