@@ -238,6 +238,12 @@ class RFFHead(nn.Module):
     b ~ U(0, 2*pi).  'fixed' keeps one draw for the module's lifetime
     (a non-trainable constant here); non-fixed redraws per call via an rng.
     Optional extra the reference exposes but never reaches from its CLI.
+
+    Reference quirks deliberately not reproduced: `RFF.forward` reads
+    `self.in_dim` which its __init__ never sets (AttributeError on first
+    call — latent defect), and `RFF_ST` omits the sqrt(2/in_dim) scale.
+    This head applies the scale uniformly; RFF_ST's shared-draw semantics
+    = calling with the same per-call rng for student and teacher.
     """
 
     out_dim: int = 128
