@@ -48,6 +48,16 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bake bf16 compute into the artifact (~1.7x serving "
                         "throughput on TPU; logits stay f32)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of every conv "
+                        "(per-tensor act / per-channel weight scales, int32 "
+                        "accumulation — the v5e MXU int8 path; calibrated on "
+                        "--calib_n batches)")
+    p.add_argument("--calib_n", type=int, default=4,
+                   help="int8 calibration batches (of 8 images). Drawn from "
+                        "the run's dataset when --run has one on disk; "
+                        "random images otherwise (uniform noise covers the "
+                        "post-normalize range, adequate for absmax scales)")
     a = p.parse_args(argv)
 
     n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)
@@ -70,10 +80,26 @@ def main(argv=None):
         def norm(x):  # x uint8: normalize() divides by 255 itself
             return aug.normalize(x, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
 
+    apply_fn = model.apply
+    if a.int8:
+        from moma_tpu.core.quantize import quantize_for_serving
+
+        rs = np.random.RandomState(1234)
+        calib = [
+            norm(jnp.asarray(rs.randint(
+                0, 256, (8, a.image_size, a.image_size, 3), np.uint8)))
+            for _ in range(a.calib_n)
+        ]
+        apply_fn, scales = quantize_for_serving(
+            model.apply, variables, calib, train=False)
+        print(f"int8 PTQ: {len(scales)} convs calibrated "
+              f"({a.calib_n} batches)")
+
     path = export_classifier(
-        model.apply, variables, a.image_size, a.out, normalize=norm,
+        apply_fn, variables, a.image_size, a.out, normalize=norm,
         meta={"model": a.model, "n_cls": n_cls, "dataset": a.dataset,
-              "ckpt": a.run or "fresh-init", "tag": a.ckpt_tag},
+              "ckpt": a.run or "fresh-init", "tag": a.ckpt_tag,
+              "quantized": "int8" if a.int8 else None},
     )
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {a.model} ({n_cls} classes, {a.image_size}px) -> "
@@ -85,9 +111,16 @@ def main(argv=None):
         x = rs.randint(0, 256, (3, a.image_size, a.image_size, 3), np.uint8)
         got = np.asarray(clf(x))
         # training-eval pipeline: uint8 straight into the normalize fn
-        _, want = model.apply(variables, norm(jnp.asarray(x)), train=False)
+        # (apply_fn, not model.apply: with --int8 the artifact is quantized;
+        # jitted: eager per-op dispatch through the axon relay takes minutes)
+        live = jax.jit(lambda v, xx: apply_fn(v, xx, train=False))
+        _, want = live(variables, norm(jnp.asarray(x)))
+        # int8 exports: values at a round(x/s) tie boundary can flip under
+        # the artifact's constant folding (different fp contraction order)
+        # — one flipped int8 moves a logit by ~s_x*s_w, above f32 noise
+        tol = 1e-3 if a.int8 else 1e-4
         np.testing.assert_allclose(got, np.asarray(want, np.float32),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=tol, atol=tol)
         print(f"verify: reloaded artifact matches the live model "
               f"(batch 3, logits {got.shape})")
     return path
