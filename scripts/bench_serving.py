@@ -87,16 +87,23 @@ def main(argv=None):
                 args.append("--bf16")
             elif mode == "int8":
                 args += ["--int8", "--calib_n", "2"]
-            export_main(args)
-            clf = ExportedClassifier(out)
-            rate = measure(clf, x_dev, a.iters)
+            try:
+                export_main(args)
+                clf = ExportedClassifier(out)
+                rate = measure(clf, x_dev, a.iters)
+            except Exception as e:  # e.g. backend rejects int8 convs
+                print(f"{mode}: FAILED — {type(e).__name__}: "
+                      f"{str(e)[:300]}")
+                results[mode] = None
+                continue
             results[mode] = round(rate, 1)
             print(f"{mode}: {rate:.1f} img/s/chip "
                   f"(BS{a.bs} @ {a.image_size}, {a.iters} overlapped iters)")
 
-    if "f32" in results:
+    if results.get("f32"):
         for m, r in results.items():
-            print(f"  {m}: {r / results['f32']:.2f}x over f32")
+            if r:
+                print(f"  {m}: {r / results['f32']:.2f}x over f32")
     if a.json:
         with open(a.json, "w") as f:
             json.dump({"model": a.model, "image_size": a.image_size,
