@@ -179,5 +179,16 @@ def test_cli_int8_export(tmp_path):
           "--out", out, "--int8", "--verify"])
 
 
+def test_cli_int8_bf16_export(tmp_path):
+    """int8 convs + bf16 epilogue compose (the fastest serving config):
+    kernels quantize from their f32 params, the epilogue and the rest of
+    the net run bf16 via the model dtype."""
+    from moma_tpu.cli.export_model import main
+
+    out = str(tmp_path / "qb")
+    main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+          "--out", out, "--int8", "--bf16", "--verify"])
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
