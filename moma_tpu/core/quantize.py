@@ -175,6 +175,37 @@ def quantized_apply(
     return wrapped
 
 
+def _dynamic_conv(mod: nn.Conv, x: jax.Array) -> jax.Array:
+    """int8 conv with the activation scale computed IN-GRAPH from this
+    batch (dynamic quantization): no calibration pass, and correct for
+    weights that change under the same trace (the EMA teacher)."""
+    s_x = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6) / QMAX
+    return _quantized_conv(mod, x, s_x)
+
+
+def quantized_apply_dynamic(apply_fn: Callable) -> Callable:
+    """Drop-in apply_fn with EVERY supported conv quantized dynamically:
+    per-batch in-graph activation absmax, per-channel weight scales read
+    from the live params at trace time.  No calibration state — usable
+    inside a training step where the intercepted weights are updated
+    every iteration (e.g. the momentum teacher).  Costs one extra
+    reduce+requantize pass over each conv input vs the static path."""
+
+    def wrapped(variables, *args, **kwargs):
+        def interceptor(next_fun, fargs, fkwargs, context):
+            if not _is_conv_call(context):
+                return next_fun(*fargs, **fkwargs)
+            mod, x = context.module, fargs[0]
+            if not _supported(mod, x):
+                return next_fun(*fargs, **fkwargs)
+            return _dynamic_conv(mod, x)
+
+        with nn.intercept_methods(interceptor):
+            return apply_fn(variables, *args, **kwargs)
+
+    return wrapped
+
+
 def quantize_for_serving(
     apply_fn: Callable,
     variables: dict,

@@ -17,6 +17,7 @@ from moma_tpu.core.quantize import (
     calibrate,
     quantize_for_serving,
     quantized_apply,
+    quantized_apply_dynamic,
 )
 from moma_tpu.models import create_model
 
@@ -148,6 +149,33 @@ def test_trained_top1_parity():
     agree = float((jnp.argmax(lq, -1) == jnp.argmax(lf, -1)).mean())
     assert acc_q > acc_fp - 0.02, (acc_fp, acc_q)
     assert agree > 0.95, agree
+
+    # dynamic variant (no calibration; in-graph per-batch act scales)
+    # must hold the same accuracy bar on the same trained weights
+    dapply = jax.jit(lambda v, x: quantized_apply_dynamic(model.apply)(
+        v, x, train=False))
+    _, ld = dapply(trained, vx)
+    acc_d = float((jnp.argmax(ld, -1) == vy).mean())
+    agree_d = float((jnp.argmax(ld, -1) == jnp.argmax(lf, -1)).mean())
+    assert acc_d > acc_fp - 0.02, (acc_fp, acc_d)
+    assert agree_d > 0.95, agree_d
+
+
+def test_dynamic_matches_static_on_calibration_batch():
+    """For a single conv (no quantized upstream), calibrating on the
+    inference batch makes static and dynamic scales identical ->
+    identical outputs.  (Deeper nets diverge by design: static scales
+    come from the FP calibration forward, dynamic sees the quantized-
+    upstream activations.)"""
+    conv = nn.Conv(8, (3, 3), padding="SAME")
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(2, 16, 16, 4), jnp.float32)
+    v = conv.init(jax.random.key(0), x)
+    scales = calibrate(conv.apply, v, [x])
+    ls = quantized_apply(conv.apply, scales)(v, x)
+    ld = quantized_apply_dynamic(conv.apply)(v, x)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ls),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_export_integration(tmp_path):
