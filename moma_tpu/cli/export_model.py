@@ -58,6 +58,11 @@ def main(argv=None):
                         "the run's dataset when --run has one on disk; "
                         "random images otherwise (uniform noise covers the "
                         "post-normalize range, adequate for absmax scales)")
+    p.add_argument("--int8_dynamic", action="store_true",
+                   help="int8 with PER-BATCH in-graph activation scales "
+                        "instead of calibrated constants (no calibration "
+                        "pass; one extra absmax reduce per conv at serve "
+                        "time)")
     a = p.parse_args(argv)
 
     n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)
@@ -81,7 +86,12 @@ def main(argv=None):
             return aug.normalize(x, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
 
     apply_fn = model.apply
-    if a.int8:
+    if a.int8_dynamic:
+        from moma_tpu.core.quantize import quantized_apply_dynamic
+
+        apply_fn = quantized_apply_dynamic(model.apply)
+        print("int8 dynamic: per-batch activation scales in-graph")
+    elif a.int8:
         from moma_tpu.core.quantize import quantize_for_serving
 
         rs = np.random.RandomState(1234)
@@ -99,7 +109,8 @@ def main(argv=None):
         apply_fn, variables, a.image_size, a.out, normalize=norm,
         meta={"model": a.model, "n_cls": n_cls, "dataset": a.dataset,
               "ckpt": a.run or "fresh-init", "tag": a.ckpt_tag,
-              "quantized": "int8" if a.int8 else None},
+              "quantized": ("int8_dynamic" if a.int8_dynamic
+                            else "int8" if a.int8 else None)},
     )
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported {a.model} ({n_cls} classes, {a.image_size}px) -> "
@@ -118,7 +129,7 @@ def main(argv=None):
         # int8 exports: values at a round(x/s) tie boundary can flip under
         # the artifact's constant folding (different fp contraction order)
         # — one flipped int8 moves a logit by ~s_x*s_w, above f32 noise
-        tol = 1e-3 if a.int8 else 1e-4
+        tol = 1e-3 if (a.int8 or a.int8_dynamic) else 1e-4
         np.testing.assert_allclose(got, np.asarray(want, np.float32),
                                    rtol=tol, atol=tol)
         print(f"verify: reloaded artifact matches the live model "

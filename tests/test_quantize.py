@@ -207,6 +207,17 @@ def test_cli_int8_export(tmp_path):
           "--out", out, "--int8", "--verify"])
 
 
+def test_cli_int8_dynamic_export(tmp_path):
+    from moma_tpu.cli.export_model import main
+
+    out = str(tmp_path / "qd")
+    main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+          "--out", out, "--int8_dynamic", "--verify"])
+    import json
+    with open(out + ".json") as f:
+        assert json.load(f)["quantized"] == "int8_dynamic"
+
+
 def test_cli_int8_bf16_export(tmp_path):
     """int8 convs + bf16 epilogue compose (the fastest serving config):
     kernels quantize from their f32 params, the epilogue and the rest of
