@@ -126,6 +126,12 @@ class MomaConfig:
     # equivalent (same BN batch statistics) but measured slower than
     # XLA's forward on v5e (BASELINE.md) — opt-in 'on' only.
     fused_teacher: str = "off"
+    # opt-in deviation: run every conv of the (gradient-free) teacher
+    # forwards in dynamic int8 (core/quantize.py — per-batch activation
+    # scales, per-channel weight scales from the live EMA params).  All
+    # teacher outputs are stop_gradient'ed, so this only perturbs the KL
+    # targets / contrast keys, not the gradient path structure.
+    teacher_quant: str = "none"  # none | int8
 
 
 @dataclass
@@ -367,6 +373,12 @@ def parse_student_args(argv=None) -> Config:
     p.add_argument("--fast_teacher", action="store_true",
                    help="reuse the momentum key forward for KL logits "
                         "(1 teacher fwd instead of 2; documented deviation)")
+    p.add_argument("--teacher_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="run the gradient-free teacher forwards with "
+                        "dynamic-int8 convs (per-batch act scales, "
+                        "per-channel weight scales from the live EMA "
+                        "params; documented deviation)")
     a = p.parse_args(argv)
     cfg = _cfg_from_common(a)
     cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre,
@@ -382,7 +394,7 @@ def parse_student_args(argv=None) -> Config:
         feat_dim=a.feat_dim, nce_k=a.nce_k, nce_t=a.nce_t, nce_m=a.nce_m,
         alpha=a.alpha, mem=a.mem, head=a.head, attn=a.attn, mode=a.mode,
         shuffle_bn=not a.no_shuffle_bn, fast_teacher=a.fast_teacher,
-        kl_teacher_bn=a.kl_teacher_bn,
+        kl_teacher_bn=a.kl_teacher_bn, teacher_quant=a.teacher_quant,
     )
     cfg = cfg.finalize()
     if a.n_cls:  # explicit flag beats the dataset table (reference behavior)

@@ -126,6 +126,26 @@ class _DataAxis:
         return jax.lax.dynamic_slice_in_dim(full, i * local_n, local_n, 0)
 
 
+def _teacher_apply(cfg: Config, teacher):
+    """The step's teacher_apply_fn, honoring cfg.moma.teacher_quant:
+    'int8' wraps every gradient-free teacher forward (KL scorer + momentum
+    key encoder) in dynamic-int8 convs (core/quantize.py).  Safe by
+    construction: all teacher outputs are stop_gradient'ed in the step,
+    so quantization perturbs targets/keys, never the gradient path."""
+    tq = getattr(cfg.moma, "teacher_quant", "none")
+    if tq == "none":
+        return teacher.apply
+    if tq != "int8":
+        raise ValueError(f"unknown teacher_quant {tq!r}")
+    if getattr(cfg.moma, "fused_teacher", "off") == "on":
+        raise ValueError("teacher_quant bypassed by fused_teacher "
+                         "(the Pallas path does not intercept convs); "
+                         "enable only one")
+    from moma_tpu.core.quantize import quantized_apply_dynamic
+
+    return quantized_apply_dynamic(teacher.apply)
+
+
 def make_moma_train_step(
     cfg: Config,
     heads: CMOHeads,
@@ -730,7 +750,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
         ),
         tx=tx,
         apply_fn=student.apply,
-        teacher_apply_fn=teacher.apply,
+        teacher_apply_fn=_teacher_apply(cfg, teacher),
     )
     state = jax.device_put(state, replicated_sharding(mesh))
     if cfg.run.model_parallel > 1:
