@@ -29,6 +29,20 @@ from moma_tpu.train.steps import make_eval_step
 from moma_tpu.train.teacher import augment_fns, build_datasets
 
 
+def _teacher_apply_cfg(cfg: Config, teacher):
+    """Honor cfg.moma.teacher_quant for the fixed KD teacher (same
+    semantics as train/moma.py::_teacher_apply; fused_teacher does not
+    exist on this path, so no conflict check is needed)."""
+    tq = getattr(cfg.moma, "teacher_quant", "none")
+    if tq == "none":
+        return teacher.apply
+    if tq != "int8":
+        raise ValueError(f"unknown teacher_quant {tq!r}")
+    from moma_tpu.core.quantize import quantized_apply_dynamic
+
+    return quantized_apply_dynamic(teacher.apply)
+
+
 def load_teacher_variables(cfg: Config, model_t, sample, rng):
     """Init + optionally restore teacher weights from --path_t / presets."""
     variables = model_t.init(rng, sample, train=False)
@@ -137,7 +151,10 @@ def run_student(cfg: Config, synthetic: bool = False):
         extra=extra,
         tx=tx,
         apply_fn=student.apply,
-        teacher_apply_fn=teacher.apply,
+        # --teacher_quant int8 applies here too: the comparison
+        # distillers' fixed teacher is equally gradient-free (its feats/
+        # logits feed losses that only backprop through the student)
+        teacher_apply_fn=_teacher_apply_cfg(cfg, teacher),
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 

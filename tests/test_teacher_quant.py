@@ -96,6 +96,69 @@ def test_teacher_quant_rejects_fused_teacher():
         _teacher_apply(cfg, _T)
 
 
+def test_teacher_quant_distill_path(mesh8):
+    """The comparison-distiller path honors teacher_quant too: int8
+    teacher feats/logits change the KD loss but not the CE term."""
+    from moma_tpu.core.config import Config, DistillConfig
+    from moma_tpu.core.mesh import data_sharding, replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.models import create_model
+    from moma_tpu.train.distill import (Distiller, make_distill_train_step,
+                                        probe_shapes)
+    from moma_tpu.train.state import DistillState, make_sgd
+    from moma_tpu.train.student import _teacher_apply_cfg
+
+    B, N_CLS = 16, 10
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = B
+    cfg.distill = DistillConfig(distill="kd", cls=1.0, div=1.0, beta=0.0)
+    cfg.model_s.n_cls = N_CLS
+
+    model = create_model("resnet8", num_classes=N_CLS)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 32, 32, 3))
+    vars_s = model.init(jax.random.fold_in(rng, 1), sample, train=False)
+    vars_t = model.init(jax.random.fold_in(rng, 2), sample, train=False)
+    fs, _ = probe_shapes(model, 32, B)
+    distiller = Distiller(cfg, fs, fs, n_data=64, batch_size=B)
+    aux_params, aux_bs = distiller.init_aux(jax.random.fold_in(rng, 3))
+    tx = make_sgd(lr_schedule(0.05, 2, 2, cosine=True), 0.9, 5e-4)
+    params = {"student": vars_s["params"], "aux": aux_params}
+
+    def make_state(tq):
+        cfg.moma.teacher_quant = tq
+        st = DistillState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats={"student": vars_s["batch_stats"], "aux": aux_bs},
+            teacher_params=vars_t["params"],
+            teacher_batch_stats=vars_t["batch_stats"],
+            opt_state=tx.init(params),
+            extra=distiller.init_extra(jax.random.fold_in(rng, 4)), tx=tx,
+            apply_fn=model.apply,
+            teacher_apply_fn=_teacher_apply_cfg(cfg, model),
+        )
+        return jax.device_put(st, replicated_sharding(mesh8))
+
+    step = make_distill_train_step(distiller, augment_fn=None, donate=False)
+    rs = np.random.RandomState(0)
+    batch = {
+        # normalized floats: raw uint8 saturates the teacher softmax to
+        # an exact one-hot, hiding any logit perturbation from the KL
+        "image": jax.device_put(
+            (rs.randint(0, 256, (B, 32, 32, 3)) / 255.0).astype(np.float32),
+            data_sharding(mesh8)),
+        "label": jax.device_put(rs.randint(0, N_CLS, (B,)).astype(np.int32),
+                                data_sharding(mesh8, ndim=1)),
+    }
+    _, m_fp = step(make_state("none"), batch, jax.random.PRNGKey(7))
+    _, m_q = step(make_state("int8"), batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m_q["loss"]))
+    assert float(m_q["loss_div"]) != float(m_fp["loss_div"])  # active
+    np.testing.assert_allclose(float(m_q["loss_cls"]),
+                               float(m_fp["loss_cls"]), rtol=1e-5)
+
+
 def test_teacher_quant_cli_flag():
     from moma_tpu.core.config import parse_student_args
 
