@@ -32,7 +32,7 @@ back to fp silently.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Sequence
+from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -83,14 +83,36 @@ def _is_conv_call(context) -> bool:
             and context.method_name == "__call__")
 
 
-def calibration_interceptor(stats: Dict[str, jax.Array]):
-    """Records running absmax of every nn.Conv input into `stats`."""
+def _is_dense_call(context) -> bool:
+    return (isinstance(context.module, nn.Dense)
+            and context.method_name == "__call__")
+
+
+def _supported_dense(mod: nn.Dense, x: jax.Array) -> bool:
+    return x.ndim >= 2
+
+
+def calibration_interceptor(stats: Dict[str, jax.Array],
+                            dense: bool = False,
+                            order: Optional[list] = None):
+    """Records running absmax of every nn.Conv (and, with dense=True,
+    nn.Dense) input into `stats`; appends (path, kind, out_features) to
+    `order` in call order when given."""
 
     def interceptor(next_fun, args, kwargs, context):
+        kind = None
         if _is_conv_call(context) and _supported(context.module, args[0]):
+            kind = "conv"
+        elif (dense and _is_dense_call(context)
+              and _supported_dense(context.module, args[0])):
+            kind = "dense"
+        if kind is not None:
             key = _path_key(context.module)
             amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
             stats[key] = jnp.maximum(stats[key], amax) if key in stats else amax
+            if order is not None:
+                order.append((key, kind, context.module.features
+                              if kind == "dense" else None))
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -100,21 +122,32 @@ def calibrate(
     apply_fn: Callable,
     variables: dict,
     batches: Iterable[jax.Array],
+    dense: bool = False,
+    n_cls: Optional[int] = None,
     **apply_kwargs,
 ) -> Dict[str, float]:
-    """Run forwards over `batches`, return {conv_path: activation_scale}.
+    """Run forwards over `batches`, return {module_path: activation_scale}.
 
     The scale is absmax/127 over all batches (per-tensor, symmetric).
-    `apply_kwargs` are forwarded to apply_fn (e.g. train=False).
+    dense=True also calibrates nn.Dense layers (the ViT trunk), EXCEPT a
+    final-call logits Dense: vgg/mobilenetv2 use nn.Dense as their
+    classifier (everything else uses TorchLinear, never intercepted),
+    and standard PTQ keeps the classifier fp.  The exclusion triggers
+    when the LAST intercepted call is a Dense and (if n_cls is given)
+    its width equals n_cls.  `apply_kwargs` forward to apply_fn.
     """
     # interception happens at TRACE time, so the whole calibration
     # forward jits: the stats dict (tracers when recorded) comes back as
     # jit outputs.  Eager execution would be one relay RTT per op on the
     # axon TPU (measured: minutes per forward for effiB0).
+    order: list = []
+
     @jax.jit
     def calib_fn(variables, x):
+        order.clear()  # retraces append again; keep one trace's order
         stats: Dict[str, jax.Array] = {}
-        with nn.intercept_methods(calibration_interceptor(stats)):
+        with nn.intercept_methods(
+                calibration_interceptor(stats, dense=dense, order=order)):
             apply_fn(variables, x, **apply_kwargs)
         return stats
 
@@ -122,6 +155,10 @@ def calibrate(
     for x in batches:
         for k, v in jax.device_get(calib_fn(variables, x)).items():
             amax[k] = max(amax.get(k, 0.0), float(v))
+    if dense and order:
+        last_key, last_kind, last_feat = order[-1]
+        if last_kind == "dense" and (n_cls is None or last_feat == n_cls):
+            amax.pop(last_key, None)  # the logits layer stays fp
     return {k: max(v, 1e-6) / QMAX for k, v in amax.items()}
 
 
@@ -153,21 +190,46 @@ def _quantized_conv(mod: nn.Conv, x: jax.Array, s_x: float) -> jax.Array:
     return out.astype(out_dtype)
 
 
+def _quantized_dense(mod: nn.Dense, x: jax.Array, s_x) -> jax.Array:
+    """int8 matmul for nn.Dense: per-tensor act / per-out-channel weight
+    scales, int32 accumulation (the ViT trunk's hot op)."""
+    params = mod.variables["params"]
+    kernel = jnp.asarray(params["kernel"], jnp.float32)  # (in, out)
+    out_dtype = (mod.dtype or jnp.promote_types(x.dtype, params["kernel"].dtype))
+
+    s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-8) / QMAX  # (out,)
+    q_w = jnp.clip(jnp.round(kernel / s_w), -QMAX, QMAX).astype(jnp.int8)
+    q_x = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -QMAX, QMAX)
+    q_x = q_x.astype(jnp.int8)
+    y = jax.lax.dot_general(
+        q_x, q_w,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * (s_x * s_w)
+    if mod.use_bias:
+        out = out + jnp.asarray(params["bias"], jnp.float32)
+    return out.astype(out_dtype)
+
+
 def quantized_apply(
     apply_fn: Callable, act_scales: Dict[str, float]
 ) -> Callable:
-    """Drop-in replacement for `apply_fn`: every conv whose path appears
-    in `act_scales` runs int8.  Same signature as apply_fn."""
+    """Drop-in replacement for `apply_fn`: every conv/dense whose path
+    appears in `act_scales` runs int8.  Same signature as apply_fn."""
 
     def wrapped(variables, *args, **kwargs):
         def interceptor(next_fun, fargs, fkwargs, context):
-            if not _is_conv_call(context):
-                return next_fun(*fargs, **fkwargs)
-            mod, x = context.module, fargs[0]
-            key = _path_key(mod)
-            if key not in act_scales or not _supported(mod, x):
-                return next_fun(*fargs, **fkwargs)
-            return _quantized_conv(mod, x, act_scales[key])
+            mod, x = context.module, fargs[0] if fargs else None
+            if _is_conv_call(context) and _supported(mod, x):
+                key = _path_key(mod)
+                if key in act_scales:
+                    return _quantized_conv(mod, x, act_scales[key])
+            elif _is_dense_call(context) and _supported_dense(mod, x):
+                key = _path_key(mod)
+                if key in act_scales:
+                    return _quantized_dense(mod, x, act_scales[key])
+            return next_fun(*fargs, **fkwargs)
 
         with nn.intercept_methods(interceptor):
             return apply_fn(variables, *args, **kwargs)
@@ -210,9 +272,14 @@ def quantize_for_serving(
     apply_fn: Callable,
     variables: dict,
     calib_batches: Sequence[jax.Array],
+    dense: bool = False,
+    n_cls: Optional[int] = None,
     **apply_kwargs,
 ):
     """One-call PTQ: calibrate then wrap.  Returns (quantized_apply_fn,
-    act_scales); pass the former to `core.export.export_classifier`."""
-    scales = calibrate(apply_fn, variables, calib_batches, **apply_kwargs)
+    act_scales); pass the former to `core.export.export_classifier`.
+    dense=True also quantizes nn.Dense trunk layers (the ViT path) —
+    see `calibrate` for the final-logits-Dense exclusion rule."""
+    scales = calibrate(apply_fn, variables, calib_batches, dense=dense,
+                       n_cls=n_cls, **apply_kwargs)
     return quantized_apply(apply_fn, scales), scales

@@ -107,6 +107,35 @@ def _make_task(n, seed, noise=0.5, hw=32, n_cls=4):
     return jnp.asarray(x), jnp.asarray(labels, jnp.int32)
 
 
+def test_dense_quantization_vit_and_classifier_exclusion():
+    """dense=True quantizes the ViT trunk (48 nn.Dense + patch-embed
+    conv in vit_tiny) but never a final-logits nn.Dense (vgg8's
+    classifier — the only CNNs using nn.Dense for logits are
+    vgg/mobilenetv2; all others use TorchLinear, never intercepted)."""
+    rs = np.random.RandomState(0)
+
+    m = create_model("vgg8", num_classes=10)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    s_conv = calibrate(m.apply, v, [x], train=False)
+    s_all = calibrate(m.apply, v, [x], dense=True, n_cls=10, train=False)
+    assert set(s_all) == set(s_conv)  # classifier Dense excluded
+
+    mv = create_model("vit_tiny_patch16_224", num_classes=10)
+    xv = jnp.asarray(rs.rand(2, 224, 224, 3), jnp.float32)
+    vv = mv.init(jax.random.PRNGKey(0), xv, train=False)
+    qapply, sv = quantize_for_serving(mv.apply, vv, [xv], dense=True,
+                                      n_cls=10, train=False)
+    assert sum(1 for k in sv if "Dense" in k) == 48  # 12 blocks x 4
+    assert len(sv) == 49  # + the patch-embed conv
+    out_f = mv.apply(vv, xv, train=False)
+    out_q = qapply(vv, xv, train=False)
+    lf = np.asarray(out_f[1] if isinstance(out_f, tuple) else out_f).ravel()
+    lq = np.asarray(out_q[1] if isinstance(out_q, tuple) else out_q).ravel()
+    rel = np.linalg.norm(lq - lf) / (np.linalg.norm(lf) + 1e-12)
+    assert rel < 0.05, rel  # measured 1.9% at fresh init
+
+
 def test_trained_top1_parity():
     """int8 top-1 on a trained resnet8 within 2 pts of fp (both >> chance)."""
     model = create_model("resnet8", num_classes=4)
@@ -216,6 +245,18 @@ def test_cli_int8_dynamic_export(tmp_path):
     import json
     with open(out + ".json") as f:
         assert json.load(f)["quantized"] == "int8_dynamic"
+
+
+def test_cli_int8_vit_export(tmp_path):
+    """ViT int8 export: trunk Dense layers quantize, artifact verifies
+    within the int8 noise bound (elementwise equality is impossible for
+    48 stacked quantized matmuls — one tie flip reshuffles downstream
+    rounding)."""
+    from moma_tpu.cli.export_model import main
+
+    out = str(tmp_path / "vit_q")
+    main(["--model", "vit_tiny_patch16_224", "--n_cls", "10",
+          "--image_size", "224", "--out", out, "--int8", "--verify"])
 
 
 def test_cli_int8_bf16_export(tmp_path):
