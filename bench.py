@@ -77,7 +77,8 @@ def _time_steps(step_fn, state, batch, rng, steps, warmup, per_step_fetch=False)
     return dt
 
 
-def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
+def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
+                     teacher_quant="none"):
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -86,7 +87,7 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
     from moma_tpu.moma.cmo import CMOHeads
     from moma_tpu.moma.queue import QueueState
     from moma_tpu.train.distill import probe_shapes
-    from moma_tpu.train.moma import make_moma_train_step
+    from moma_tpu.train.moma import _teacher_apply, make_moma_train_step
     from moma_tpu.train.state import MomaState, make_sgd
 
     cfg = Config()
@@ -95,7 +96,8 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
     cfg.data.image_size = image_size
     cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
     cfg.moma = MomaConfig(feat_dim=512, nce_k=16384, nce_t=0.15, alpha=0.999,
-                          mem="MoCo", head="mlp", attn="self")
+                          mem="MoCo", head="mlp", attn="self",
+                          teacher_quant=teacher_quant)
     cfg.model_s.n_cls = 4
 
     mesh = create_mesh()
@@ -119,7 +121,8 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5):
         teacher_params=vars_t["params"],
         teacher_batch_stats=vars_t["batch_stats"],
         queue=queue, opt_state=tx.init(params), tx=tx,
-        apply_fn=model.apply, teacher_apply_fn=model.apply,
+        apply_fn=model.apply,
+        teacher_apply_fn=_teacher_apply(cfg, model),
     )
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -233,6 +236,14 @@ def main():
         ips64 = bench_moma_histo(batch_size=64)
         print(f"[extra] MoMA per-chip-BS64 (half the canonical global "
               f"batch): {ips64:.1f} img/s/chip", file=sys.stderr)
+    if run_all or "--tq" in sys.argv:
+        # opt-in deviation (--teacher_quant int8): dynamic-int8 teacher
+        # forwards; accuracy-neutral at convergence (BASELINE.md).  Side
+        # metric only — the headline stays the reference-faithful config.
+        ips_tq = bench_moma_histo(batch_size=128, teacher_quant="int8")
+        print(f"[extra] MoMA BS128 with --teacher_quant int8: "
+              f"{ips_tq:.1f} img/s/chip ({ips_tq / ips:.3f}x the faithful "
+              f"step)", file=sys.stderr)
     if run_all:
         cifar = bench_cifar()
         print(f"[extra] cifar resnet32x4 train: {cifar:.1f} img/s/chip "
