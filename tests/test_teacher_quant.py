@@ -96,6 +96,28 @@ def test_teacher_quant_rejects_fused_teacher():
         _teacher_apply(cfg, _T)
 
 
+def test_teacher_quant_under_local_bn_shard_map(mesh8):
+    """teacher_quant composes with the per-device-BN execution mode:
+    the conv interception happens at trace time INSIDE the shard_map
+    body (each virtual device quantizes its own shard's activations)."""
+    from moma_tpu.data.augment import cifar_eval_normalize
+
+    cfg, state, _ = _setup(mesh8)
+    cfg.run.bn = "local"
+    cfg.moma.teacher_quant = "int8"
+
+    class _T:
+        apply = staticmethod(state.teacher_apply_fn)
+
+    state = state.replace(teacher_apply_fn=_teacher_apply(cfg, _T))
+    step = make_moma_train_step(
+        cfg, _heads(state), augment_fn=lambda im, r: cifar_eval_normalize(im),
+        donate=False, mesh=mesh8)
+    new_state, metrics = step(state, _batch(mesh8), jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.queue.ptr) == _batch(mesh8)["image"].shape[0]
+
+
 def test_teacher_quant_distill_path(mesh8):
     """The comparison-distiller path honors teacher_quant too: int8
     teacher feats/logits change the KD loss but not the CE term."""
