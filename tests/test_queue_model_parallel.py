@@ -126,6 +126,26 @@ def test_queue_stays_model_sharded(mesh4x2):
     )
 
 
+def test_mocoatt_all_mode_with_sharded_queue(mesh4x2):
+    """MoCoAtt attn='all' ATTENDS over the queue tokens (mem_moco.py:
+    124-126) — with the memory sharded over 'model', jit must insert the
+    gather/collectives and match the replicated result."""
+    from tests.test_moma import _setup as moma_setup
+
+    # build on the 4x2 mesh with MoCoAtt-all; _setup lives in test_moma
+    # (B=16 there too)
+    cfg, state_r, step = moma_setup(mesh4x2, mem="MoCoAtt", attn="all")
+    state_s = _shard_queue(state_r, mesh4x2)
+    batch = _batch(mesh4x2)
+    rng = jax.random.PRNGKey(5)
+    state_r, m_r = step(state_r, batch, rng)
+    state_s, m_s = step(state_s, batch, rng)
+    np.testing.assert_allclose(float(m_s["loss_kd"]), float(m_r["loss_kd"]),
+                               rtol=1e-5)
+    spec = state_s.queue.memory["memory"].sharding.spec
+    assert spec and spec[0] == "model", spec
+
+
 def test_runner_rejects_model_parallel_where_unwired(tmp_path):
     from moma_tpu.train.student import run_student
     from moma_tpu.train.teacher import run_teacher
