@@ -101,6 +101,8 @@ def calibration_interceptor(stats: Dict[str, jax.Array],
 
     def interceptor(next_fun, args, kwargs, context):
         kind = None
+        if not args:  # kwargs-only call: leave untouched
+            return next_fun(*args, **kwargs)
         if _is_conv_call(context) and _supported(context.module, args[0]):
             kind = "conv"
         elif (dense and _is_dense_call(context)
@@ -220,7 +222,9 @@ def quantized_apply(
 
     def wrapped(variables, *args, **kwargs):
         def interceptor(next_fun, fargs, fkwargs, context):
-            mod, x = context.module, fargs[0] if fargs else None
+            if not fargs:  # kwargs-only call: leave untouched
+                return next_fun(*fargs, **fkwargs)
+            mod, x = context.module, fargs[0]
             if _is_conv_call(context) and _supported(mod, x):
                 key = _path_key(mod)
                 if key in act_scales:
@@ -255,7 +259,7 @@ def quantized_apply_dynamic(apply_fn: Callable) -> Callable:
 
     def wrapped(variables, *args, **kwargs):
         def interceptor(next_fun, fargs, fkwargs, context):
-            if not _is_conv_call(context):
+            if not fargs or not _is_conv_call(context):
                 return next_fun(*fargs, **fkwargs)
             mod, x = context.module, fargs[0]
             if not _supported(mod, x):
