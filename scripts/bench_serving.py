@@ -87,6 +87,10 @@ def main(argv=None):
                 args.append("--bf16")
             elif mode == "int8":
                 args += ["--int8", "--calib_n", "2"]
+            elif mode == "int8_dynamic":
+                args.append("--int8_dynamic")
+            elif mode == "int8_bf16":
+                args += ["--int8", "--calib_n", "2", "--bf16"]
             try:
                 export_main(args)
                 clf = ExportedClassifier(out)
