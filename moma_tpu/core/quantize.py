@@ -24,10 +24,15 @@ Because interception happens at trace time, the quantized graph exports
 through `jax.export` unchanged: `export_classifier(quantized_apply(...))`
 bakes an int8 serving artifact.
 
-Works for every backbone in the zoo (only `nn.Conv` is intercepted; the
-classifier `nn.Dense` and all normalization stay in fp, the standard
-PTQ recipe).  Convs with exotic config (input dilation, masks) fall
-back to fp silently.
+Works for every backbone in the zoo.  With dense=True, nn.Dense trunk
+layers quantize too (the ViT path: 48 dense matmuls in vit_tiny) —
+but never a final-logits Dense (see `calibrate` for the exclusion
+rule) and never TorchLinear classifiers (raw jnp.dot, not intercepted);
+normalization and activations stay fp — the standard PTQ recipe.  Convs
+with exotic config (input dilation, masks) fall back to fp silently.
+`quantized_apply_dynamic` is the calibration-free variant (per-batch
+in-graph act scales) used by `--int8_dynamic` and the training-side
+`--teacher_quant int8` (train/moma.py::_teacher_apply).
 """
 
 from __future__ import annotations
