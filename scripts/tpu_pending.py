@@ -1,0 +1,142 @@
+"""Resumable one-session runner for the queued TPU measurements.
+
+The axon relay can go down for hours mid-session (it ate the tail of two
+sessions already), so every TPU measurement queued behind an outage is
+registered here as a named item whose result is flushed to disk the
+moment it lands.  Re-running the script skips everything already
+recorded — a relay death mid-run costs only the in-flight item.
+
+Items (in order; each independently skippable with --only/--skip):
+  moma_bs128            headline re-confirm (reference-faithful config)
+  moma_bs128_tq         --teacher_quant int8 side-bench (dynamic-int8
+                        gradient-free teacher forwards; BASELINE.md has
+                        the accuracy study, throughput was pending)
+  moma_bs256            batch-scaling side point (non-faithful; catches
+                        OOM gracefully)
+  serving_effib0        f32/bf16/int8/int8_dynamic/int8+bf16 exported
+                        effiB0@512 serving throughput
+  serving_vit           same for vit_tiny_patch16_224 @224 (dense-trunk
+                        int8 path)
+
+Results land in .bench/tpu_pending.json (untracked); transfer the
+numbers to BASELINE.md by hand.  Run it with an outer `timeout` — relay
+outages HANG rather than raise:  timeout 3600 python scripts/tpu_pending.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       ".bench", "tpu_pending.json")
+
+
+def _load() -> dict:
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def _flush(results: dict) -> None:
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    tmp = RESULTS + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    os.replace(tmp, RESULTS)
+
+
+def item_moma_bs128():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(batch_size=128), 1)}
+
+
+def item_moma_bs128_tq():
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=128, teacher_quant="int8"), 1)}
+
+
+def item_moma_bs256():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(batch_size=256), 1)}
+
+
+def item_serving_effib0():
+    from bench_serving import main as serving_main
+    return serving_main(["--model", "effiB0", "--image_size", "512",
+                         "--bs", "128",
+                         "--modes", "f32,bf16,int8,int8_dynamic,int8_bf16"])
+
+
+def item_serving_vit():
+    from bench_serving import main as serving_main
+    return serving_main(["--model", "vit_tiny_patch16_224",
+                         "--image_size", "224", "--bs", "256",
+                         "--modes", "f32,bf16,int8,int8_dynamic"])
+
+
+ITEMS = [
+    ("moma_bs128", item_moma_bs128),
+    ("moma_bs128_tq", item_moma_bs128_tq),
+    ("moma_bs256", item_moma_bs256),
+    ("serving_effib0", item_serving_effib0),
+    ("serving_vit", item_serving_vit),
+]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None, help="comma list of item names")
+    p.add_argument("--skip", default=None, help="comma list of item names")
+    p.add_argument("--redo", action="store_true",
+                   help="re-run items even if a result is recorded")
+    a = p.parse_args(argv)
+    only = set(a.only.split(",")) if a.only else None
+    skip = set(a.skip.split(",")) if a.skip else set()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # bench_serving
+    from moma_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = _load()
+    for name, fn in ITEMS:
+        if only is not None and name not in only:
+            continue
+        if name in skip:
+            continue
+        prev = results.get(name)
+        if prev and prev.get("ok") and not a.redo:
+            print(f"[pending] {name}: already recorded -> {prev['value']}",
+                  flush=True)
+            continue
+        print(f"[pending] {name}: running ...", flush=True)
+        t0 = time.time()
+        try:
+            value = fn()
+            results[name] = {"ok": True, "value": value,
+                             "elapsed_s": round(time.time() - t0, 1),
+                             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                 time.gmtime())}
+            print(f"[pending] {name}: OK {value} "
+                  f"({results[name]['elapsed_s']}s)", flush=True)
+        except Exception as e:  # record and move on — OOM etc.
+            results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                             "trace": traceback.format_exc()[-2000:],
+                             "elapsed_s": round(time.time() - t0, 1)}
+            print(f"[pending] {name}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+        _flush(results)
+    print(json.dumps({k: v.get("value") if v.get("ok") else "FAILED"
+                      for k, v in results.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
