@@ -78,7 +78,13 @@ class OptimConfig:
     lr_decay_rate: float = 0.1
     lr_decay_epochs: Tuple[int, ...] = (150, 180, 210)
     grad_clip: float = 0.0  # 0 => off
-    trust_ratio: float = 0.0  # reserved (LARS-style) — off by default
+    # LARS layer-adaptive trust coefficient for large global batches
+    # (train/state.py make_sgd; applies to >=2-D weight tensors only);
+    # 0 => plain reference-parity SGD
+    trust_ratio: float = 0.0
+    # linear per-step LR ramp over the first N epochs (extension — the
+    # reference has no warmup; core/schedules.py); 0 => reference parity
+    warmup_epochs: float = 0.0
 
 
 @dataclass
@@ -156,6 +162,18 @@ class RunConfig:
     model_parallel: int = 1
     log_every_n_steps: int = 50
     donate: bool = True
+    # gradient accumulation: split each batch into M equal microbatches
+    # scanned sequentially with ONE optimizer update — the activation-
+    # memory lever for backbones/batches that overflow HBM.  Supported on
+    # the vanilla and comparison-distill steps (microbatch = virtual DDP
+    # rank; BN sees per-microbatch stats like the reference's unsynced
+    # per-GPU BN).  Rejected on the MoMA path: every rank's contrast loss
+    # reads ALL ranks' same-step keys (all_k, contrast_trainer.py:83-88),
+    # so microbatches are coupled through the queue and a sequential scan
+    # cannot reproduce the reference step without holding every
+    # microbatch's activations — which is the memory this flag exists to
+    # save.
+    grad_accum: int = 1
     profile_dir: str = ""  # capture a jax.profiler trace of epoch 1
 
 
@@ -217,6 +235,15 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--cosine", action="store_true")
+    p.add_argument("--warmup_epochs", type=float, default=0.0,
+                   help="linear LR warmup over the first N epochs "
+                        "(large-batch stabilizer; 0 = reference parity)")
+    p.add_argument("--trust_ratio", type=float, default=0.0,
+                   help="LARS trust coefficient for large global batches "
+                        "(layer-adaptive LR on weight tensors; 0 = plain "
+                        "SGD, reference parity)")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off)")
     p.add_argument("--dataset", type=str, default="cifar100")
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--aug_train", type=str, default="RA", choices=["NULL", "RA"])
@@ -236,6 +263,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--sync_bn", action="store_true",
                    help="alias for --bn sync (cross-replica BN statistics)")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into M microbatches scanned "
+                        "sequentially with one optimizer update (activation-"
+                        "memory lever; vanilla + comparison distillers only "
+                        "— the MoMA step couples microbatches through the "
+                        "same-step contrast keys, see RunConfig.grad_accum)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a TensorBoard/XProf device trace of epoch 1")
@@ -290,6 +323,9 @@ def _cfg_from_common(a) -> Config:
         cosine=a.cosine,
         lr_decay_rate=a.lr_decay_rate,
         lr_decay_epochs=tuple(int(x) for x in a.lr_decay_epochs.split(",")),
+        grad_clip=a.grad_clip,
+        trust_ratio=a.trust_ratio,
+        warmup_epochs=a.warmup_epochs,
     )
     cfg.run = RunConfig(
         epochs=a.epochs,
@@ -301,6 +337,7 @@ def _cfg_from_common(a) -> Config:
         half_precision=not a.fp32,
         bn=_resolve_bn(a),
         model_parallel=a.model_parallel,
+        grad_accum=a.grad_accum,
         resume=a.resume,
         profile_dir=a.profile_dir,
     )

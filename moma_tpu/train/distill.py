@@ -325,23 +325,33 @@ def make_distill_train_step(
     distiller: Distiller,
     augment_fn: Optional[Callable],
     donate: bool = True,
+    grad_accum: int = 1,
 ):
     """jit(step(state: DistillState, batch, rng) -> (state, metrics)).
 
     Teacher runs frozen in eval mode (loops_moma.py:74-75); its features
     are stop-gradiented (":117 f.detach()").
+
+    grad_accum=M > 1: lax.scan over M equal microbatches, one optimizer
+    update — the activation-memory lever for big students/teachers (see
+    make_vanilla_train_step).  Microbatch = virtual DDP rank: averaged
+    CE/KL/feature-loss gradients equal the global-batch mean; BatchNorm
+    (student + aux modules) sees per-microbatch statistics like the
+    reference's unsynced per-GPU BN.  Stateful distiller extras (the CRD
+    memory banks) chain through the scan — each sample's bank row is
+    still written exactly once per step, so semantics match the
+    sequential smaller-batch run.
     """
     cfg = distiller.cfg
     c, dv, b = cfg.distill.cls, cfg.distill.div, cfg.distill.beta
     kd_T = cfg.distill.kd_T
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
-    def step(state: DistillState, batch, rng):
-        images = batch["image"]
-        if augment_fn is not None:
-            images = augment_fn(images, rng)
-        labels = batch["label"]
-        cls_t_apply = make_classifier_apply(state.teacher_params)
-
+    def microbatch_grads(state, batch_stats, extra, mb_batch, cls_t_apply):
+        """(grads, aux) for one (micro)batch against FIXED params, with
+        batch_stats/extra supplied by the caller (chained under scan)."""
+        images, labels = mb_batch["image"], mb_batch["label"]
         feat_t, logit_t = state.teacher_apply_fn(
             {
                 "params": state.teacher_params,
@@ -357,7 +367,7 @@ def make_distill_train_step(
             (feat_s, logit_s), mut = state.apply_fn(
                 {
                     "params": params["student"],
-                    "batch_stats": state.batch_stats["student"],
+                    "batch_stats": batch_stats["student"],
                 },
                 images,
                 train=True,
@@ -367,13 +377,13 @@ def make_distill_train_step(
             loss_div = F.kd_kl(logit_s, logit_t, kd_T)
             loss_kd, new_aux_bs, new_extra, metric_logits = distiller.loss(
                 params["aux"],
-                state.batch_stats["aux"],
-                getattr(state, "extra", None),
+                batch_stats["aux"],
+                extra,
                 feat_s,
                 feat_t,
                 logit_s,
                 logit_t,
-                batch,
+                mb_batch,
                 cls_t_apply,
             )
             total = c * loss_cls + dv * loss_div + b * loss_kd
@@ -381,14 +391,10 @@ def make_distill_train_step(
             out_logits = metric_logits if metric_logits is not None else logit_s
             return total, (loss_cls, loss_div, loss_kd, out_logits, new_bs, new_extra)
 
-        (total, (loss_cls, loss_div, loss_kd, logits, new_bs, new_extra)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        )
-        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        if new_extra is not None:
-            new_state = new_state.replace(extra=new_extra)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
-        metrics = {
+    def batch_metrics(total, loss_cls, loss_div, loss_kd, logits, labels):
+        return {
             "loss": total,
             "loss_cls": loss_cls,
             "loss_div": loss_div,
@@ -406,6 +412,59 @@ def make_distill_train_step(
             )
             * 100.0,
         }
+
+    def step(state: DistillState, batch, rng):
+        if augment_fn is not None:
+            batch = dict(batch)
+            batch["image"] = augment_fn(batch["image"], rng)
+        cls_t_apply = make_classifier_apply(state.teacher_params)
+        extra = getattr(state, "extra", None)
+
+        if grad_accum == 1:
+            (total, (loss_cls, loss_div, loss_kd, logits, new_bs, new_extra)), grads = (
+                microbatch_grads(state, state.batch_stats, extra, batch, cls_t_apply)
+            )
+            new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+            if new_extra is not None:
+                new_state = new_state.replace(extra=new_extra)
+            return new_state, batch_metrics(
+                total, loss_cls, loss_div, loss_kd, logits, batch["label"]
+            )
+
+        B = batch["image"].shape[0]
+        if B % grad_accum != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by grad_accum={grad_accum}"
+            )
+        mb = B // grad_accum
+        mb_batch = {
+            k: v.reshape(grad_accum, mb, *v.shape[1:]) for k, v in batch.items()
+        }
+
+        def body(carry, xs):
+            bstats, ex, gsum, msum = carry
+            (total, (loss_cls, loss_div, loss_kd, logits, new_bs, new_extra)), grads = (
+                microbatch_grads(state, bstats, ex, xs, cls_t_apply)
+            )
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            m = batch_metrics(total, loss_cls, loss_div, loss_kd, logits, xs["label"])
+            msum = jax.tree_util.tree_map(jnp.add, msum, m)
+            next_ex = new_extra if new_extra is not None else ex
+            return (new_bs, next_ex, gsum, msum), None
+
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zeros_m = {
+            k: jnp.zeros((), jnp.float32)
+            for k in ("loss", "loss_cls", "loss_div", "loss_kd", "acc1", "acc5")
+        }
+        (final_bs, final_extra, gsum, msum), _ = jax.lax.scan(
+            body, (state.batch_stats, extra, zeros_g, zeros_m), mb_batch
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        metrics = jax.tree_util.tree_map(lambda m: m / grad_accum, msum)
+        new_state = state.apply_gradients(grads, new_batch_stats=final_bs)
+        if final_extra is not None:
+            new_state = new_state.replace(extra=final_extra)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

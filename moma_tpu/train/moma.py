@@ -210,6 +210,17 @@ def make_moma_train_step(
 
     kl_train_bn = getattr(cfg.moma, "kl_teacher_bn", "train") == "train"
 
+    if getattr(cfg.run, "grad_accum", 1) > 1:
+        # not a missing feature but a semantic conflict: every reference
+        # rank's contrast loss reads ALL ranks' same-step keys (all_k,
+        # contrast_trainer.py:83-88), so microbatches couple through the
+        # queue — a sequential scan would either change the negatives
+        # (same-step keys entering early) or hold every microbatch's
+        # activations, defeating the flag's purpose.  Erroring beats a
+        # silently different objective (cf. RunConfig.grad_accum).
+        raise ValueError("--grad_accum > 1 is not supported for the MoMA "
+                         "step; use the vanilla/comparison paths or shrink "
+                         "the batch")
     bn_mode = getattr(cfg.run, "bn", "global")
     if bn_mode not in ("global", "local", "sync"):
         raise ValueError(f"unknown bn mode {bn_mode!r}")
@@ -725,9 +736,13 @@ def run_moma(cfg: Config, synthetic: bool = False):
             cfg.optim.learning_rate, cfg.run.epochs, steps_per_epoch,
             cosine=cfg.optim.cosine, decay_rate=cfg.optim.lr_decay_rate,
             decay_epochs=cfg.optim.lr_decay_epochs,
+            warmup_epochs=cfg.optim.warmup_epochs,
         ),
         momentum=cfg.optim.momentum,
         weight_decay=cfg.optim.weight_decay,
+        nesterov=cfg.optim.nesterov,
+        grad_clip=cfg.optim.grad_clip,
+        trust_ratio=cfg.optim.trust_ratio,
     )
     params = {"student": vars_s["params"], "cmo": cmo_params}
     state = MomaState(

@@ -134,15 +134,35 @@ def make_sgd(
     weight_decay: float = 5e-4,
     nesterov: bool = False,
     grad_clip: float = 0.0,
+    trust_ratio: float = 0.0,
 ) -> optax.GradientTransformation:
     """torch.optim.SGD-equivalent chain: coupled weight decay added to the
     gradient BEFORE the momentum buffer (torch semantics), then heavy-ball
-    momentum, then LR scaling."""
+    momentum, then LR scaling.
+
+    trust_ratio > 0 inserts LARS layer-adaptive scaling (You et al. 2017)
+    between the decayed gradient and the momentum buffer — the large-
+    global-batch stabilizer for multi-chip data-parallel runs (the
+    reference's 2-GPU recipe never needed it).  The local LR multiplier
+    trust_ratio * ||w|| / ||g + wd*w|| applies per weight tensor,
+    matmul/conv kernels only (1-D params — BN scales/biases — keep the
+    plain update, the standard LARS exemption).  0 = exact reference-SGD
+    parity.
+    """
     parts = []
     if grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
     if weight_decay > 0:
         parts.append(optax.add_decayed_weights(weight_decay))
+    if trust_ratio > 0:
+        parts.append(
+            optax.masked(
+                optax.scale_by_trust_ratio(trust_coefficient=trust_ratio),
+                lambda params: jax.tree_util.tree_map(
+                    lambda p: p.ndim > 1, params
+                ),
+            )
+        )
     if momentum > 0:
         parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     parts.append(optax.scale_by_learning_rate(schedule))

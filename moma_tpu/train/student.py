@@ -134,11 +134,13 @@ def run_student(cfg: Config, synthetic: bool = False):
             cfg.optim.learning_rate, cfg.run.epochs, steps_per_epoch,
             cosine=cfg.optim.cosine, decay_rate=cfg.optim.lr_decay_rate,
             decay_epochs=cfg.optim.lr_decay_epochs,
+            warmup_epochs=cfg.optim.warmup_epochs,
         ),
         momentum=cfg.optim.momentum,
         weight_decay=cfg.optim.weight_decay,
         nesterov=cfg.optim.nesterov,
         grad_clip=cfg.optim.grad_clip,
+        trust_ratio=cfg.optim.trust_ratio,
     )
     params = {"student": vars_s["params"], "aux": aux_params}
     state = DistillState(
@@ -180,7 +182,8 @@ def run_student(cfg: Config, synthetic: bool = False):
               f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
 
     train_aug, eval_norm = augment_fns(cfg)
-    step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate)
+    step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate,
+                                      grad_accum=cfg.run.grad_accum)
     simkd_eval = cfg.distill.distill == "simkd"
     if simkd_eval:
         # SimKD has no trained student classifier (cls weight 0): eval

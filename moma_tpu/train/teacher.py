@@ -121,11 +121,13 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
             cosine=cfg.optim.cosine,
             decay_rate=cfg.optim.lr_decay_rate,
             decay_epochs=cfg.optim.lr_decay_epochs,
+            warmup_epochs=cfg.optim.warmup_epochs,
         ),
         momentum=cfg.optim.momentum,
         weight_decay=cfg.optim.weight_decay,
         nesterov=cfg.optim.nesterov,
         grad_clip=cfg.optim.grad_clip,
+        trust_ratio=cfg.optim.trust_ratio,
     )
     state = TrainState.create(
         apply_fn=model.apply,
@@ -155,7 +157,8 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
               f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
 
     train_aug, eval_norm = augment_fns(cfg)
-    step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate)
+    step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate,
+                                      grad_accum=cfg.run.grad_accum)
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=eval_norm)
 
     from moma_tpu.core.preempt import GracefulStop
