@@ -61,6 +61,10 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=64,
                    help="serving batch size (fixed -> one compile)")
     p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all visible devices "
+                        "(shard_map around the single-device artifact; "
+                        "weak-scales serving throughput by device count)")
     p.add_argument("--out", type=str, default="./preds.csv")
     a = p.parse_args(argv)
 
@@ -69,6 +73,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     clf = ExportedClassifier(a.artifact)
+    if a.data_parallel:
+        clf.shard()
+        import jax as _jax
+        print(f"[serve] data-parallel over {len(_jax.devices())} devices")
     size = clf.meta.get("image_size")
     if size is None:
         print("artifact has no meta json (image_size unknown); "

@@ -84,6 +84,54 @@ class ExportedClassifier:
         images = jnp.asarray(images, jnp.uint8)
         return self._call(images)
 
+    def shard(self, mesh=None):
+        """Switch to data-parallel serving over a device mesh.
+
+        The artifact is lowered for ONE device (jax.export records
+        nr_devices=1), so multi-chip serving wraps it in shard_map over
+        the 'data' axis: every device runs the single-device module on
+        its batch shard — pure weak scaling, zero collectives (each row's
+        logits depend only on that row).  Batches not divisible by the
+        device count are padded with row 0 and sliced after (static
+        shapes per batch size, like the single-device path).  Returns
+        self for chaining.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            from moma_tpu.core.mesh import create_mesh
+
+            mesh = create_mesh()
+        self._mesh = mesh
+        n = mesh.shape.get("data", 1)
+        try:  # jax>=0.8
+            smap = jax.shard_map
+        except AttributeError:
+            from jax.experimental.shard_map import shard_map as smap
+
+        call = self._exp.call
+
+        def run(images):
+            f = smap(call, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+            return f(images)
+
+        sharded = jax.jit(run)
+        in_shard = NamedSharding(mesh, P("data"))
+
+        def dispatch(images):
+            b = images.shape[0]
+            pad = (-b) % n
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.broadcast_to(images[:1], (pad, *images.shape[1:]))],
+                    axis=0,
+                )
+            logits = sharded(jax.device_put(images, in_shard))
+            return logits[:b] if pad else logits
+
+        self._call = dispatch
+        return self
+
     def predict(self, images, batch_size: int = 0) -> np.ndarray:
         """Host-side convenience: optional micro-batching + argmax."""
         images = np.asarray(images, np.uint8)

@@ -72,3 +72,27 @@ def test_export_cli_from_trained_run(tmp_path):
     clf = ExportedClassifier(path)
     x = np.random.RandomState(2).randint(0, 256, (4, 32, 32, 3), np.uint8)
     assert clf.predict(x).shape == (4,)
+
+
+def test_export_data_parallel_serving(tmp_path, mesh8):
+    """clf.shard(): the single-device artifact served data-parallel via
+    shard_map over the 8-device mesh — per-row logits must match the
+    single-device call, including the padded (non-divisible) path."""
+    model = create_model("resnet8", num_classes=7)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    path = export_classifier(
+        model.apply, variables, 32, str(tmp_path / "mp"),
+        normalize=aug.cifar_eval_normalize, meta={"n_cls": 7},
+    )
+    single = ExportedClassifier(path)
+    sharded = ExportedClassifier(path).shard(mesh8)
+
+    rs = np.random.RandomState(3)
+    for b in (16, 13):  # 13: pads to 16, slices back
+        x = rs.randint(0, 256, (b, 32, 32, 3), np.uint8)
+        want = np.asarray(single(x))
+        got = np.asarray(sharded(x))
+        assert got.shape == (b, 7)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
