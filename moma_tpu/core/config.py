@@ -121,7 +121,9 @@ class MomaConfig:
     # (default) reproduces the steps>=2 steady state — a one-step-per-
     # epoch deviation, numerically negligible (see PARITY.md).  'eval'
     # uses running stats every step (the reference's step-1 behavior,
-    # a cleaner fixed-scorer semantics).
+    # a cleaner fixed-scorer semantics).  'exact' reproduces the real
+    # schedule — eval on each epoch's first batch, train after — at the
+    # cost of a second compiled step program (train/moma.py run_moma).
     kl_teacher_bn: str = "train"
     # opt-in deviation: reuse the momentum key forward's logits for the
     # KL term instead of a second teacher forward (~25% faster steps;
@@ -402,11 +404,14 @@ def parse_student_args(argv=None) -> Config:
     p.add_argument("--attn", type=str, default="self")
     p.add_argument("--no_shuffle_bn", action="store_true")
     p.add_argument("--kl_teacher_bn", type=str, default="train",
-                   choices=["train", "eval"],
+                   choices=["train", "eval", "exact"],
                    help="BN mode of the teacher's KL forward: 'train' = the "
                         "reference's within-epoch steady state (set_bn_train "
                         "persists until the per-epoch eval() reset), 'eval' = "
-                        "running stats (its first-step-of-each-epoch behavior)")
+                        "running stats (its first-step-of-each-epoch "
+                        "behavior), 'exact' = the reference's real schedule "
+                        "(eval on each epoch's first batch, train after; "
+                        "compiles two step programs)")
     p.add_argument("--fast_teacher", action="store_true",
                    help="reuse the momentum key forward for KL logits "
                         "(1 teacher fwd instead of 2; documented deviation)")

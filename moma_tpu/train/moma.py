@@ -153,6 +153,7 @@ def make_moma_train_step(
     donate: bool = True,
     cross_arch: bool = False,
     mesh=None,
+    kl_train_bn_override: Optional[bool] = None,
 ):
     """cross_arch=False: the paper's mode — the pretrained teacher IS the
     momentum encoder (EMA'd from the student; requires identical archs).
@@ -208,7 +209,24 @@ def make_moma_train_step(
     )
     ft_variant = "b" + cfg.model_t.name[len("effiB"):] if use_fused_teacher else None
 
-    kl_train_bn = getattr(cfg.moma, "kl_teacher_bn", "train") == "train"
+    # kl_teacher_bn: 'train' = steady state, 'eval' = running stats,
+    # 'exact' = the reference's REAL schedule (eval on the first step of
+    # each epoch — the per-epoch model_t.eval() reset, loops:224-227 —
+    # train after): run_moma builds TWO jitted steps and dispatches per
+    # batch; kl_train_bn_override selects which one this build is.
+    kl_bn_mode = getattr(cfg.moma, "kl_teacher_bn", "train")
+    if kl_bn_mode not in ("train", "eval", "exact"):
+        raise ValueError(f"unknown kl_teacher_bn {kl_bn_mode!r}")
+    if kl_train_bn_override is not None:
+        kl_train_bn = bool(kl_train_bn_override)
+    elif kl_bn_mode == "exact":
+        raise ValueError(
+            "kl_teacher_bn='exact' needs two step builds — pass "
+            "kl_train_bn_override=False for the first-batch-of-epoch step "
+            "and True for the rest (run_moma does this)"
+        )
+    else:
+        kl_train_bn = kl_bn_mode == "train"
 
     if getattr(cfg.run, "grad_accum", 1) > 1:
         # not a missing feature but a semantic conflict: every reference
@@ -799,10 +817,27 @@ def run_moma(cfg: Config, synthetic: bool = False):
               f"'model'={mp}")
 
     train_aug, eval_norm = augment_fns(cfg)
-    step_fn = make_moma_train_step(
-        cfg, heads, train_aug, donate=cfg.run.donate, cross_arch=cross_arch,
-        mesh=mesh,
-    )
+    if cfg.moma.kl_teacher_bn == "exact":
+        # the reference's real BN schedule: model_t.eval() at the top of
+        # every epoch -> KL forward on running stats for that epoch's
+        # FIRST batch, batch stats after (set_bn_train persists,
+        # loops_moma.py:224-227,314-318).  Two jitted programs; the epoch
+        # loop dispatches (costs one extra compile, cached thereafter).
+        step_fn = (
+            make_moma_train_step(
+                cfg, heads, train_aug, donate=cfg.run.donate,
+                cross_arch=cross_arch, mesh=mesh, kl_train_bn_override=False,
+            ),
+            make_moma_train_step(
+                cfg, heads, train_aug, donate=cfg.run.donate,
+                cross_arch=cross_arch, mesh=mesh, kl_train_bn_override=True,
+            ),
+        )
+    else:
+        step_fn = make_moma_train_step(
+            cfg, heads, train_aug, donate=cfg.run.donate,
+            cross_arch=cross_arch, mesh=mesh,
+        )
     eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
 
     def full_state(st):
@@ -884,10 +919,20 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
             ctx = trace(cfg.run.profile_dir)
         else:
             ctx = contextlib.nullcontext()
+        if isinstance(step_fn, tuple):
+            # kl_teacher_bn='exact': eval-BN KL forward on the epoch's
+            # first batch (per-epoch model_t.eval() reset), train-BN after
+            first_fn, rest_fn = step_fn
+            seen = iter(range(1 << 30))
+
+            def epoch_step(s, b, r):
+                return (first_fn if next(seen) == 0 else rest_fn)(s, b, r)
+        else:
+            epoch_step = step_fn
         try:
             with ctx:
                 state, tr = train_one_epoch(
-                    state, train_loader, step_fn, mesh, epoch, train_rng,
+                    state, train_loader, epoch_step, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
                     stop=stop_guard,
                 )
