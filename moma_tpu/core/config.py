@@ -176,6 +176,14 @@ class RunConfig:
     # microbatch's activations — which is the memory this flag exists to
     # save.
     grad_accum: int = 1
+    # full-forward rematerialization (jax.checkpoint) of the STUDENT's
+    # differentiated forward: backward recomputes the forward instead of
+    # holding every intermediate activation — trades ~1 extra forward of
+    # FLOPs for O(model-depth) activation memory.  The gradient-free
+    # teacher forwards hold no activations and are untouched.  Works on
+    # all three steps (vanilla/distill/moma) and composes with
+    # grad_accum.  Numerics are bit-identical by construction.
+    remat: bool = False
     profile_dir: str = ""  # capture a jax.profiler trace of epoch 1
 
 
@@ -271,6 +279,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "memory lever; vanilla + comparison distillers only "
                         "— the MoMA step couples microbatches through the "
                         "same-step contrast keys, see RunConfig.grad_accum)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the student forward in the backward "
+                        "pass (activation-memory lever; composes with "
+                        "--grad_accum; numerically identical)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a TensorBoard/XProf device trace of epoch 1")
@@ -340,6 +352,7 @@ def _cfg_from_common(a) -> Config:
         bn=_resolve_bn(a),
         model_parallel=a.model_parallel,
         grad_accum=a.grad_accum,
+        remat=a.remat,
         resume=a.resume,
         profile_dir=a.profile_dir,
     )

@@ -326,6 +326,7 @@ def make_distill_train_step(
     augment_fn: Optional[Callable],
     donate: bool = True,
     grad_accum: int = 1,
+    remat: bool = False,
 ):
     """jit(step(state: DistillState, batch, rng) -> (state, metrics)).
 
@@ -363,15 +364,21 @@ def make_distill_train_step(
         feat_t = jax.tree_util.tree_map(jax.lax.stop_gradient, feat_t)
         logit_t = jax.lax.stop_gradient(logit_t)
 
+        def student_fwd(p, bs, im):
+            return state.apply_fn(
+                {"params": p, "batch_stats": bs}, im,
+                train=True, mutable=["batch_stats"],
+            )
+
+        if remat:
+            # recompute the student forward in the backward pass instead
+            # of holding its activations (RunConfig.remat); the frozen
+            # teacher forward above is gradient-free and holds none
+            student_fwd = jax.checkpoint(student_fwd)
+
         def loss_fn(params):
-            (feat_s, logit_s), mut = state.apply_fn(
-                {
-                    "params": params["student"],
-                    "batch_stats": batch_stats["student"],
-                },
-                images,
-                train=True,
-                mutable=["batch_stats"],
+            (feat_s, logit_s), mut = student_fwd(
+                params["student"], batch_stats["student"], images
             )
             loss_cls = F.cross_entropy(logit_s, labels)
             loss_div = F.kd_kl(logit_s, logit_t, kd_T)

@@ -464,15 +464,21 @@ def make_moma_train_step(
             else:
                 images2 = images
 
+        def student_fwd(p, bs, im):
+            return state.apply_fn(
+                {"params": p, "batch_stats": bs}, im,
+                train=True, mutable=["batch_stats"],
+            )
+
+        if getattr(cfg.run, "remat", False):
+            # recompute the student forward(s) in the backward pass
+            # instead of holding activations (RunConfig.remat); all
+            # teacher/momentum-encoder forwards are gradient-free
+            student_fwd = jax.checkpoint(student_fwd)
+
         def loss_fn(params):
-            (feat_s, logit_s), mut = state.apply_fn(
-                {
-                    "params": params["student"],
-                    "batch_stats": state.batch_stats["student"],
-                },
-                images,
-                train=True,
-                mutable=["batch_stats"],
+            (feat_s, logit_s), mut = student_fwd(
+                params["student"], state.batch_stats["student"], images
             )
             loss_cls = F.cross_entropy(logit_s, labels)
             loss_div = F.kd_kl(logit_s, logit_t, kd_T)
@@ -505,14 +511,10 @@ def make_moma_train_step(
                 if mem == "MoCoSSTT":
                     # dual query: second-view student embedding (q_jig slot
                     # of mem_moco.py:219-253) -> 4 logit sets ss/st/ts/tt
-                    (feat_s2, _), _ = state.apply_fn(
-                        {
-                            "params": params["student"],
-                            "batch_stats": state.batch_stats["student"],
-                        },
+                    # view-2 stats discarded (mutable handled in student_fwd)
+                    (feat_s2, _), _ = student_fwd(
+                        params["student"], state.batch_stats["student"],
                         images2,
-                        train=True,
-                        mutable=["batch_stats"],  # view-2 stats discarded
                     )
                     qt_in, _ = heads.embed(
                         "embed_s", params["cmo"], state.batch_stats["cmo"],

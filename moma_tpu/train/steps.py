@@ -25,7 +25,7 @@ from moma_tpu.train.state import TrainState
 
 
 def make_vanilla_train_step(augment_fn: Callable | None = None, donate: bool = True,
-                            grad_accum: int = 1):
+                            grad_accum: int = 1, remat: bool = False):
     """Returns jit(step(state, batch, rng) -> (state, metrics)).
 
     batch: {'image': uint8/float NHWC, 'label': int32}.  If augment_fn is
@@ -46,13 +46,19 @@ def make_vanilla_train_step(augment_fn: Callable | None = None, donate: bool = T
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def forward_loss(params, batch_stats, apply_fn, images, labels):
-        def loss_fn(p):
-            (feats, logits), mutated = apply_fn(
-                {"params": p, "batch_stats": batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
+        def fwd(p, bs, im):
+            return apply_fn(
+                {"params": p, "batch_stats": bs}, im,
+                train=True, mutable=["batch_stats"],
             )
+
+        if remat:
+            # full-forward rematerialization: the backward recomputes the
+            # forward instead of holding every activation (RunConfig.remat)
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(p):
+            (feats, logits), mutated = fwd(p, batch_stats, images)
             loss = cross_entropy(logits, labels)
             return loss, (logits, mutated.get("batch_stats", {}))
 

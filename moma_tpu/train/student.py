@@ -183,7 +183,8 @@ def run_student(cfg: Config, synthetic: bool = False):
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate,
-                                      grad_accum=cfg.run.grad_accum)
+                                      grad_accum=cfg.run.grad_accum,
+                                      remat=cfg.run.remat)
     simkd_eval = cfg.distill.distill == "simkd"
     if simkd_eval:
         # SimKD has no trained student classifier (cls weight 0): eval

@@ -158,7 +158,8 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate,
-                                      grad_accum=cfg.run.grad_accum)
+                                      grad_accum=cfg.run.grad_accum,
+                                      remat=cfg.run.remat)
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=eval_norm)
 
     from moma_tpu.core.preempt import GracefulStop

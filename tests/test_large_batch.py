@@ -92,3 +92,84 @@ def test_cli_bridge_parses_large_batch_flags():
     assert cfg.optim.warmup_epochs == 5.0
     assert cfg.optim.trust_ratio == 0.001
     assert cfg.optim.grad_clip == 1.0
+
+
+def _mk_batch(mesh, b=16, n_cls=10, seed=0):
+    from moma_tpu.core.mesh import data_sharding
+
+    rs = np.random.RandomState(seed)
+    return {
+        "image": jax.device_put(
+            rs.randint(0, 256, (b, 32, 32, 3), dtype=np.uint8),
+            data_sharding(mesh)),
+        "label": jax.device_put(
+            rs.randint(0, n_cls, (b,)).astype(np.int32),
+            data_sharding(mesh, ndim=1)),
+    }
+
+
+def test_remat_vanilla_numerics_identical(mesh8):
+    """--remat recomputes the same ops: params/metrics must match the
+    plain step to float tolerance (it is a memory lever, not a math one),
+    and it must compose with grad_accum."""
+    from moma_tpu.core.mesh import replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.augment import cifar_eval_normalize
+    from moma_tpu.models import create_model
+    from moma_tpu.train.state import TrainState
+    from moma_tpu.train.steps import make_vanilla_train_step
+
+    model = create_model("resnet8", num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=False)
+
+    def mk_state():
+        tx = make_sgd(lr_schedule(0.1, 4, 4, cosine=True), 0.9, 5e-4)
+        st = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"], tx=tx)
+        return jax.device_put(st, replicated_sharding(mesh8))
+
+    aug = lambda im, rng: cifar_eval_normalize(im)
+    batch = _mk_batch(mesh8)
+    rng = jax.random.PRNGKey(2)
+    s_plain, m_plain = make_vanilla_train_step(aug, donate=False)(
+        mk_state(), batch, rng)
+    s_remat, m_remat = make_vanilla_train_step(aug, donate=False, remat=True)(
+        mk_state(), batch, rng)
+    assert np.isclose(float(m_plain["loss"]), float(m_remat["loss"]),
+                      rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_plain.params),
+                    jax.tree_util.tree_leaves(s_remat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # composes with grad_accum
+    s_both, m_both = make_vanilla_train_step(
+        aug, donate=False, grad_accum=2, remat=True)(mk_state(), batch, rng)
+    assert np.isfinite(float(m_both["loss"]))
+
+
+def test_remat_moma_numerics_identical(mesh8):
+    from tests.test_moma import _batch as moma_batch
+    from tests.test_moma import _setup as moma_setup
+    from moma_tpu.train.moma import make_moma_train_step
+
+    cfg, state, step_plain = moma_setup(mesh8)
+    cfg.run.remat = True
+    from moma_tpu.data.augment import cifar_eval_normalize
+    from moma_tpu.moma.cmo import CMOHeads
+    from moma_tpu.train.distill import probe_shapes
+    from moma_tpu.models import create_model
+
+    fs, _ = probe_shapes(create_model("resnet8", num_classes=10), 32, 16)
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=32, s_dim=fs[-1][-1],
+                     t_dim=fs[-1][-1])
+    step_remat = make_moma_train_step(
+        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
+        donate=False)
+    batch = moma_batch(mesh8)
+    rng = jax.random.PRNGKey(4)
+    _, m_plain = step_plain(state, batch, rng)
+    _, m_remat = step_remat(state, batch, rng)
+    for k in ("loss", "loss_cls", "loss_div", "loss_kd"):
+        assert np.isclose(float(m_plain[k]), float(m_remat[k]), rtol=1e-5), k
