@@ -54,16 +54,26 @@ def main(argv=None):
                         "accumulation — the v5e MXU int8 path; calibrated on "
                         "--calib_n batches)")
     p.add_argument("--calib_n", type=int, default=4,
-                   help="int8 calibration batches (of 8 images). Drawn from "
-                        "the run's dataset when --run has one on disk; "
-                        "random images otherwise (uniform noise covers the "
-                        "post-normalize range, adequate for absmax scales)")
+                   help="int8 calibration batches (of 8 images), drawn from "
+                        "--calib_images when given, else uniform-noise "
+                        "images (noise covers the post-normalize range — "
+                        "adequate for absmax scales, but real data bounds "
+                        "real activation ranges tighter)")
+    p.add_argument("--calib_images", type=str, default=None,
+                   help="glob of image files to calibrate int8 activation "
+                        "scales on (the served distribution); omitted = "
+                        "uniform-noise calibration")
     p.add_argument("--int8_dynamic", action="store_true",
                    help="int8 with PER-BATCH in-graph activation scales "
                         "instead of calibrated constants (no calibration "
                         "pass; one extra absmax reduce per conv at serve "
                         "time)")
     a = p.parse_args(argv)
+    if a.int8 and a.int8_dynamic:
+        # conflicting quantization modes error rather than being silently
+        # resolved (the --bn/--sync_bn convention, core/config.py)
+        raise SystemExit("--int8 contradicts --int8_dynamic: calibrated "
+                         "constants vs per-batch in-graph scales — pick one")
 
     n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)
     model = create_model(a.model, num_classes=n_cls,
@@ -94,17 +104,35 @@ def main(argv=None):
     elif a.int8:
         from moma_tpu.core.quantize import quantize_for_serving
 
-        rs = np.random.RandomState(1234)
-        calib = [
-            norm(jnp.asarray(rs.randint(
-                0, 256, (8, a.image_size, a.image_size, 3), np.uint8)))
-            for _ in range(a.calib_n)
-        ]
+        if a.calib_images:
+            import glob as _glob
+
+            from moma_tpu.cli.serve import _decode_batch
+
+            paths = sorted(_glob.glob(a.calib_images))
+            if not paths:
+                raise SystemExit(
+                    f"--calib_images matched no files: {a.calib_images}")
+            need = min(len(paths), a.calib_n * 8)
+            calib = [
+                norm(jnp.asarray(_decode_batch(paths[i : i + 8],
+                                               a.image_size)))
+                for i in range(0, need, 8)
+            ]
+            src = f"{need} images from {a.calib_images}"
+        else:
+            rs = np.random.RandomState(1234)
+            calib = [
+                norm(jnp.asarray(rs.randint(
+                    0, 256, (8, a.image_size, a.image_size, 3), np.uint8)))
+                for _ in range(a.calib_n)
+            ]
+            src = f"{a.calib_n} uniform-noise batches"
         apply_fn, scales = quantize_for_serving(
             model.apply, variables, calib, dense=True, n_cls=n_cls,
             train=False)
         print(f"int8 PTQ: {len(scales)} conv/dense layers calibrated "
-              f"({a.calib_n} batches)")
+              f"({src})")
 
     path = export_classifier(
         apply_fn, variables, a.image_size, a.out, normalize=norm,

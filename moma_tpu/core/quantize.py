@@ -292,3 +292,25 @@ def quantize_for_serving(
     scales = calibrate(apply_fn, variables, calib_batches, dense=dense,
                        n_cls=n_cls, **apply_kwargs)
     return quantized_apply(apply_fn, scales), scales
+
+
+def teacher_apply_for(teacher_apply: Callable, teacher_quant: str,
+                      fused_conflict: bool = False) -> Callable:
+    """The training steps' teacher_apply_fn, honoring --teacher_quant.
+
+    Shared validator for the MoMA and comparison-distill paths (they used
+    to carry parallel copies): 'int8' wraps every gradient-free teacher
+    forward in dynamic-int8 convs; all teacher outputs are
+    stop_gradient'ed in the steps, so only KL targets / contrast keys are
+    perturbed.  fused_conflict marks the caller's fused_teacher Pallas
+    path being active, which bypasses conv interception.
+    """
+    if teacher_quant == "none":
+        return teacher_apply
+    if teacher_quant != "int8":
+        raise ValueError(f"unknown teacher_quant {teacher_quant!r}")
+    if fused_conflict:
+        raise ValueError("teacher_quant bypassed by fused_teacher "
+                         "(the Pallas path does not intercept convs); "
+                         "enable only one")
+    return quantized_apply_dynamic(teacher_apply)

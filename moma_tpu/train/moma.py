@@ -127,23 +127,15 @@ class _DataAxis:
 
 
 def _teacher_apply(cfg: Config, teacher):
-    """The step's teacher_apply_fn, honoring cfg.moma.teacher_quant:
-    'int8' wraps every gradient-free teacher forward (KL scorer + momentum
-    key encoder) in dynamic-int8 convs (core/quantize.py).  Safe by
-    construction: all teacher outputs are stop_gradient'ed in the step,
-    so quantization perturbs targets/keys, never the gradient path."""
-    tq = getattr(cfg.moma, "teacher_quant", "none")
-    if tq == "none":
-        return teacher.apply
-    if tq != "int8":
-        raise ValueError(f"unknown teacher_quant {tq!r}")
-    if getattr(cfg.moma, "fused_teacher", "off") == "on":
-        raise ValueError("teacher_quant bypassed by fused_teacher "
-                         "(the Pallas path does not intercept convs); "
-                         "enable only one")
-    from moma_tpu.core.quantize import quantized_apply_dynamic
+    """The step's teacher_apply_fn, honoring cfg.moma.teacher_quant
+    (shared validator: core/quantize.py::teacher_apply_for)."""
+    from moma_tpu.core.quantize import teacher_apply_for
 
-    return quantized_apply_dynamic(teacher.apply)
+    return teacher_apply_for(
+        teacher.apply,
+        getattr(cfg.moma, "teacher_quant", "none"),
+        fused_conflict=getattr(cfg.moma, "fused_teacher", "off") == "on",
+    )
 
 
 def make_moma_train_step(
@@ -365,7 +357,11 @@ def make_moma_train_step(
                 rng, k_perm = jax.random.split(rng)
                 perm = jax.random.permutation(k_perm, Bg)
             inv = jnp.argsort(perm)
-            key_images = dist.local_slice(all_images[perm], B_local)
+            # gather only THIS device's permuted rows — indexing by the
+            # local slice of perm avoids materializing the full permuted
+            # global batch per device (at BS1024@512px that copy is
+            # ~0.8 GB/device of pure waste before the slice)
+            key_images = all_images[dist.local_slice(perm, B_local)]
         else:
             key_images = images
         if cross_arch:
@@ -663,6 +659,19 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
                 return step(state, batch, rng)
         return step(state, batch, rng)
 
+    # jax>=0.8 renamed the replication-check kwarg; probe once at build
+    # time (the old form re-ran a TypeError dance on every trace)
+    import inspect
+
+    try:
+        rep_kwarg = (
+            "check_vma"
+            if "check_vma" in inspect.signature(smap).parameters
+            else "check_rep"
+        )
+    except (TypeError, ValueError):  # builtins / odd wrappers
+        rep_kwarg = "check_vma"
+
     def run(state, batch, rng):
         batch_specs = {
             k: (
@@ -672,13 +681,8 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
             )
             for k, v in batch.items()
         }
-        kw = {}
-        try:  # jax>=0.8 renamed the replication check
-            f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
-                     out_specs=P(), check_vma=False, **kw)
-        except TypeError:
-            f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
-                     out_specs=P(), check_rep=False, **kw)
+        f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
+                 out_specs=P(), **{rep_kwarg: False})
         return f(state, batch, rng)
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -30,17 +30,14 @@ from moma_tpu.train.teacher import augment_fns, build_datasets
 
 
 def _teacher_apply_cfg(cfg: Config, teacher):
-    """Honor cfg.moma.teacher_quant for the fixed KD teacher (same
-    semantics as train/moma.py::_teacher_apply; fused_teacher does not
-    exist on this path, so no conflict check is needed)."""
-    tq = getattr(cfg.moma, "teacher_quant", "none")
-    if tq == "none":
-        return teacher.apply
-    if tq != "int8":
-        raise ValueError(f"unknown teacher_quant {tq!r}")
-    from moma_tpu.core.quantize import quantized_apply_dynamic
+    """Honor cfg.moma.teacher_quant for the fixed KD teacher
+    (shared validator: core/quantize.py::teacher_apply_for;
+    fused_teacher does not exist on this path)."""
+    from moma_tpu.core.quantize import teacher_apply_for
 
-    return quantized_apply_dynamic(teacher.apply)
+    return teacher_apply_for(
+        teacher.apply, getattr(cfg.moma, "teacher_quant", "none")
+    )
 
 
 def load_teacher_variables(cfg: Config, model_t, sample, rng):

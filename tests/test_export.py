@@ -96,3 +96,31 @@ def test_export_data_parallel_serving(tmp_path, mesh8):
         got = np.asarray(sharded(x))
         assert got.shape == (b, 7)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_int8_flag_conflict_and_image_calibration(tmp_path):
+    """--int8 + --int8_dynamic is a hard error (no silent precedence);
+    --calib_images calibrates activation scales on real decoded images."""
+    import pytest
+    from PIL import Image
+
+    from moma_tpu.cli.export_model import main as export_main
+
+    with pytest.raises(SystemExit, match="contradicts"):
+        export_main(["--model", "resnet8", "--n_cls", "10",
+                     "--image_size", "32", "--out", str(tmp_path / "x"),
+                     "--int8", "--int8_dynamic"])
+
+    rs = np.random.RandomState(0)
+    for i in range(9):
+        Image.fromarray(rs.randint(0, 256, (40, 40, 3), dtype=np.uint8)).save(
+            tmp_path / f"c{i}.png")
+    export_main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+                 "--out", str(tmp_path / "m8"), "--int8",
+                 "--calib_images", str(tmp_path / "c*.png"), "--verify"])
+    assert ExportedClassifier(str(tmp_path / "m8")).meta["quantized"] == "int8"
+
+    with pytest.raises(SystemExit, match="matched no files"):
+        export_main(["--model", "resnet8", "--n_cls", "10",
+                     "--image_size", "32", "--out", str(tmp_path / "y"),
+                     "--int8", "--calib_images", str(tmp_path / "none*.jpg")])
