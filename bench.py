@@ -78,7 +78,7 @@ def _time_steps(step_fn, state, batch, rng, steps, warmup, per_step_fetch=False)
 
 
 def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
-                     teacher_quant="none"):
+                     teacher_quant="none", remat=False):
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -98,6 +98,7 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     cfg.moma = MomaConfig(feat_dim=512, nce_k=16384, nce_t=0.15, alpha=0.999,
                           mem="MoCo", head="mlp", attn="self",
                           teacher_quant=teacher_quant)
+    cfg.run.remat = remat
     cfg.model_s.n_cls = 4
 
     mesh = create_mesh()

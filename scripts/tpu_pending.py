@@ -13,6 +13,8 @@ Items (in order; each independently skippable with --only/--skip):
                         the accuracy study, throughput was pending)
   moma_bs256            batch-scaling side point (non-faithful; catches
                         OOM gracefully)
+  moma_bs256_remat      BS256 with student-forward remat — runs only if
+                        plain BS256 OOMed
   serving_effib0        f32/bf16/int8/int8_dynamic/int8+bf16 exported
                         effiB0@512 serving throughput
   serving_vit           same for vit_tiny_patch16_224 @224 (dense-trunk
@@ -69,6 +71,18 @@ def item_moma_bs256():
     return {"img_per_s_chip": round(bench.bench_moma_histo(batch_size=256), 1)}
 
 
+def item_moma_bs256_remat():
+    """Only interesting if plain BS256 OOMs — remat trades FLOPs for the
+    held student activations.  Skipped automatically when bs256 passed."""
+    import bench
+
+    prev = _load().get("moma_bs256")
+    if prev and prev.get("ok"):
+        return {"skipped": "moma_bs256 fit without remat"}
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=256, remat=True), 1)}
+
+
 def item_serving_effib0():
     from bench_serving import main as serving_main
     return serving_main(["--model", "effiB0", "--image_size", "512",
@@ -87,6 +101,7 @@ ITEMS = [
     ("moma_bs128", item_moma_bs128),
     ("moma_bs128_tq", item_moma_bs128_tq),
     ("moma_bs256", item_moma_bs256),
+    ("moma_bs256_remat", item_moma_bs256_remat),
     ("serving_effib0", item_serving_effib0),
     ("serving_vit", item_serving_vit),
 ]

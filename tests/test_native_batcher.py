@@ -52,3 +52,52 @@ def test_prefetch_fifo(pack):
         out = b.get()
         np.testing.assert_array_equal(out, data[idx])
     b.close()
+
+
+def test_prefetch_get_view_zero_copy(pack):
+    """get_view returns correct rows in FIFO order; released buffers are
+    recycled (pool) without corrupting batches still held."""
+    path, n, shape, data = pack
+    b = NativeBatcher(path, n, shape)
+    b.start(batch_size=16, depth=3, threads=4)
+    batches = [np.random.RandomState(10 + i).randint(0, n, 16)
+               for i in range(8)]
+    for idx in batches[:3]:
+        b.submit(idx)
+    # hold two views at once: recycling one must not clobber the other
+    v0, t0 = b.get_view()
+    v1, t1 = b.get_view()
+    np.testing.assert_array_equal(v0, data[batches[0]])
+    np.testing.assert_array_equal(v1, data[batches[1]])
+    b.release(t0)
+    for idx in batches[3:]:
+        b.submit(idx)
+    np.testing.assert_array_equal(v1, data[batches[1]])  # still intact
+    b.release(t1)
+    for idx in batches[2:]:
+        v, t = b.get_view()
+        np.testing.assert_array_equal(v, data[idx])
+        v_copy = np.array(v)
+        b.release(t)
+        np.testing.assert_array_equal(v_copy, data[idx])
+    b.close()
+
+
+def test_prefetch_get_after_view_mixes(pack):
+    """Copy get() and zero-copy get_view() can interleave on one stream."""
+    path, n, shape, data = pack
+    b = NativeBatcher(path, n, shape)
+    b.start(batch_size=16, depth=2, threads=2)
+    batches = [np.random.RandomState(30 + i).randint(0, n, 16)
+               for i in range(4)]
+    for idx in batches:
+        b.submit(idx)
+    np.testing.assert_array_equal(b.get(), data[batches[0]])
+    v, t = b.get_view()
+    np.testing.assert_array_equal(v, data[batches[1]])
+    b.release(t)
+    np.testing.assert_array_equal(b.get(), data[batches[2]])
+    v, t = b.get_view()
+    np.testing.assert_array_equal(v, data[batches[3]])
+    b.release(t)
+    b.close()

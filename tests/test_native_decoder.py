@@ -105,6 +105,15 @@ def test_decode_files_batch_and_failures(lib, tmp_path):
     for i in range(6):
         assert np.abs(out[i].astype(int) - refs[i].astype(int)).max() <= 2
 
+    # out= path (pack-builder in-place decode, incl. memmap destinations):
+    # identical rows, no allocation
+    dest = np.memmap(str(tmp_path / "dest.bin"), dtype=np.uint8, mode="w+",
+                     shape=(8, 64, 64, 3))
+    ret, failed2 = native.decode_files(paths, 64, threads=2, out=dest)
+    assert ret is dest
+    np.testing.assert_array_equal(np.asarray(dest), out)
+    np.testing.assert_array_equal(failed2, failed)
+
 
 def test_fast_mode_dct_scaling_close(lib):
     rs = np.random.RandomState(4)
