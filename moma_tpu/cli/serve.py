@@ -17,7 +17,11 @@ original checkpoint, and the dataset plumbing to classify anything.
 Decode: native C++ libjpeg pool (data/native, threads) with per-file
 PIL fallback; batches are padded to a fixed --bs so the artifact
 compiles ONCE (its batch dimension is symbolic — each distinct shape
-would otherwise recompile).
+would otherwise recompile).  A background thread decodes batch i+1
+while the device runs batch i (double-buffered through a 2-buffer pool,
+so steady-state serving re-touches warm pages instead of faulting a
+fresh buffer per batch — the same 5x effect measured for the pack
+builder, data/native/__init__.py decode_files).
 """
 
 from __future__ import annotations
@@ -26,7 +30,9 @@ import argparse
 import csv
 import glob
 import os
+import queue
 import sys
+import threading
 import time
 
 import jax
@@ -34,18 +40,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _decode_batch(paths, size: int) -> np.ndarray:
+def _decode_batch(paths, size: int, out=None) -> np.ndarray:
     """(len(paths), size, size, 3) uint8 via native decode, PIL fallback."""
     from moma_tpu.data.histo import _decode_resize
     from moma_tpu.data.native import decode_files
 
-    res = decode_files(paths, size)
+    res = decode_files(paths, size, out=out)
     if res is None:  # no native decoder on this host: all-PIL
         return np.stack([_decode_resize(p, size) for p in paths])
     imgs, failed = res
     for i in np.nonzero(failed)[0]:  # non-JPEG / corrupt rows
         imgs[i] = _decode_resize(paths[i], size)
     return imgs
+
+
+def _batch_stream(get, n: int, bs: int, size: int, file_mode: bool):
+    """Yield (lo, hi, imgs) with decode overlapped one batch ahead of the
+    consumer.  imgs comes from a 2-buffer pool in file mode: the consumer
+    must be done with batch i's array before it pulls batch i+2 (true for
+    the serve loop, which materializes logits per batch)."""
+    starts = list(range(0, n, bs))
+    if len(starts) <= 1:
+        for lo in starts:
+            yield lo, min(lo + bs, n), get(lo, min(lo + bs, n), None)
+        return
+
+    free: "queue.Queue" = queue.Queue()
+    if file_mode:
+        for _ in range(2):
+            free.put(np.empty((bs, size, size, 3), np.uint8))
+    else:  # synthetic/in-RAM: get() slices, no decode buffer needed
+        for _ in range(2):
+            free.put(None)
+    done: "queue.Queue" = queue.Queue()
+
+    def worker():
+        try:
+            for lo in starts:
+                hi = min(lo + bs, n)
+                buf = free.get()
+                out = buf[: hi - lo] if buf is not None else None
+                done.put((lo, hi, get(lo, hi, out), buf))
+        except Exception as e:  # surface decode errors in the main thread
+            done.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    for _ in starts:
+        item = done.get()
+        if isinstance(item, Exception):
+            raise item
+        lo, hi, imgs, buf = item
+        yield lo, hi, imgs
+        free.put(buf)  # consumer is done with this array -> recycle
+    t.join()
 
 
 def main(argv=None):
@@ -87,21 +135,21 @@ def main(argv=None):
         rs = np.random.RandomState(0)
         names = [f"synthetic_{i}" for i in range(a.synthetic)]
         batches = rs.randint(0, 256, (a.synthetic, size, size, 3), np.uint8)
-        get = lambda lo, hi: batches[lo:hi]
+        get = lambda lo, hi, out: batches[lo:hi]
+        file_mode = False
     elif a.images:
         names = sorted(glob.glob(a.images))
         if not names:
             print(f"no files match {a.images}", file=sys.stderr)
             return {}
-        get = lambda lo, hi: _decode_batch(names[lo:hi], size)
+        get = lambda lo, hi, out: _decode_batch(names[lo:hi], size, out=out)
+        file_mode = True
     else:
         p.error("need --images or --synthetic")
 
     n = len(names)
     rows, t0 = [], time.perf_counter()
-    for lo in range(0, n, a.bs):
-        hi = min(lo + a.bs, n)
-        imgs = get(lo, hi)
+    for lo, hi, imgs in _batch_stream(get, n, a.bs, size, file_mode):
         if hi - lo < a.bs:  # pad the ragged tail: one compiled shape
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], a.bs - (hi - lo), axis=0)])
