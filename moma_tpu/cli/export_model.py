@@ -13,6 +13,14 @@ on any jax backend.
     # or a fresh init (smoke / shape check):
     python -m moma_tpu.cli.export_model --model resnet8 --image_size 32 \
         --n_cls 10 --out /tmp/m
+
+Precision guidance (measured on TPU v5e, BASELINE.md "Relay-recovery
+measurement batch"): for CONV backbones export `--int8 --bf16`
+(effiB0@512: 2.28x over f32 — int8 halves the bandwidth-bound conv
+streams, bf16 the epilogue); for ViT trunks export `--bf16` ALONE
+(vit_tiny@224: bf16 2.7x over f32, while int8 dense trunks LOSE to
+bf16 — int32-accumulating dots forgo the MXU bf16 rate and the
+quant/dequant pairs break XLA's matmul fusion chain).
 """
 
 from __future__ import annotations
