@@ -9,10 +9,15 @@ Layout: single sequence (the token axis IS the batch+queue), multi-head:
     q, k, v: (H, N, d)  ->  out: (H, N, d)
 
 Also exposes `chunked_attention`, a pure-jnp lax.scan fallback with the
-same memory profile, used on CPU (tests) and as a safety net.
+same memory profile, used on CPU (tests) and as a safety net, and
+`streaming_attention`, the DIFFERENTIABLE entry point (custom VJP with
+an exact flash-attention backward as streaming scans) that training
+code must use — raw pallas_call has no autodiff rule.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -84,14 +89,9 @@ def flash_attention(
     )(q, k, v)
 
 
-def chunked_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-    chunk: int = 1024,
-) -> jax.Array:
-    """Pure-jnp streaming attention (same math, lax.scan over key chunks);
-    used on CPU and as the non-Pallas fallback."""
-    H, N, d = q.shape
-    qs = q.astype(jnp.float32) * scale
+def _chunk_kv(k: jax.Array, v: jax.Array, chunk: int):
+    """Pad the key axis to a chunk multiple and split into scan slices."""
+    H, N, d = k.shape
     pad = (-N) % chunk
     if pad:
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
@@ -100,6 +100,18 @@ def chunked_attention(
     vc = v.reshape(H, -1, chunk, d).transpose(1, 0, 2, 3)
     n_chunks = kc.shape[0]
     valid = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) < N
+    return kc, vc, valid
+
+
+def _forward_stats(qs: jax.Array, k: jax.Array, v: jax.Array, chunk: int):
+    """Streaming softmax(qs @ k^T) @ v with the row stats kept.
+
+    qs is PRE-SCALED f32.  Returns (o, m, l) all f32 — o the attention
+    output, m the row max, l the row partition sum — which is exactly
+    what the flash-attention backward needs to rebuild each probability
+    tile without materializing the (N, N) score matrix."""
+    H, N, d = qs.shape
+    kc, vc, valid = _chunk_kv(k, v, chunk)
 
     def body(carry, xs):
         m, l, acc = carry
@@ -119,7 +131,82 @@ def chunked_attention(
         jnp.zeros((H, N, d), jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(body, init, (kc, vc, valid))
-    return (acc / l).astype(q.dtype)
+    return acc / l, m, l
+
+
+def chunked_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    chunk: int = 1024,
+) -> jax.Array:
+    """Pure-jnp streaming attention (same math, lax.scan over key chunks);
+    used on CPU and as the non-Pallas fallback."""
+    qs = q.astype(jnp.float32) * scale
+    o, _, _ = _forward_stats(qs, k, v, chunk)
+    return o.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def streaming_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    use_pallas: bool = False, chunk: int = 1024,
+) -> jax.Array:
+    """Differentiable streaming attention: flash/chunked forward + an
+    exact flash-attention BACKWARD written as streaming scans.
+
+    Neither raw forward is differentiable at scale: `pallas_call` has no
+    autodiff rule at all (so jax.grad through `flash_attention` raises —
+    the bug this wrapper fixes: MoCoAtt attn='all'/'dual' training over
+    2B+K tokens hits the Pallas path on TPU with gradients flowing into
+    q and the attention weights, mem_moco.py:110-161), and scan-autodiff
+    of `chunked_attention` saves every per-chunk (H, N, chunk)
+    probability tile — the full O(N^2) score matrix flash attention
+    exists to avoid.  The custom VJP recomputes each tile from the saved
+    (q, k, v) plus one cheap stats pass: O(N·chunk) memory both ways."""
+    if use_pallas and q.shape[1] % 256 == 0:
+        return flash_attention(q, k, v, scale)
+    return chunked_attention(q, k, v, scale, chunk)
+
+
+def _streaming_attention_fwd(q, k, v, scale, use_pallas, chunk):
+    return streaming_attention(q, k, v, scale, use_pallas, chunk), (q, k, v)
+
+
+def _streaming_attention_bwd(scale, use_pallas, chunk, res, g):
+    q, k, v = res
+    qs = q.astype(jnp.float32) * scale
+    g32 = g.astype(jnp.float32)
+    # one streaming pass rebuilds (o, m, l); materializing nothing bigger
+    # than an (H, N, chunk) tile
+    o, m, l = _forward_stats(qs, k, v, chunk)
+    delta = jnp.sum(g32 * o, axis=-1, keepdims=True)  # (H, N, 1)
+    kc, vc, valid = _chunk_kv(k, v, chunk)
+
+    def body(dqs, xs):
+        k_i, v_i, valid_i = xs
+        k32 = k_i.astype(jnp.float32)
+        s = jnp.einsum("hnd,hcd->hnc", qs, k32)
+        s = jnp.where(valid_i[None, None, :], s, NEG_INF)
+        p = jnp.exp(s - m) / l  # exact softmax tile (padded cols -> 0)
+        dv_i = jnp.einsum("hnc,hnd->hcd", p, g32)
+        dp = jnp.einsum("hnd,hcd->hnc", g32, v_i.astype(jnp.float32))
+        ds = p * (dp - delta)
+        dqs = dqs + jnp.einsum("hnc,hcd->hnd", ds, k32)
+        dk_i = jnp.einsum("hnc,hnd->hcd", ds, qs)
+        return dqs, (dk_i, dv_i)
+
+    dqs0 = jnp.zeros_like(qs)
+    dqs, (dkc, dvc) = jax.lax.scan(body, dqs0, (kc, vc, valid))
+    H, N, d = q.shape
+    dk = dkc.transpose(1, 0, 2, 3).reshape(H, -1, d)[:, :N]
+    dv = dvc.transpose(1, 0, 2, 3).reshape(H, -1, d)[:, :N]
+    return (
+        (dqs * scale).astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
+
+
+streaming_attention.defvjp(_streaming_attention_fwd, _streaming_attention_bwd)
 
 
 def batch_token_attention_big(
@@ -139,9 +226,6 @@ def batch_token_attention_big(
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     scale = hd**-0.5
-    if use_pallas and N % 256 == 0:
-        out = flash_attention(q, k, v, scale)
-    else:
-        out = chunked_attention(q, k, v, scale)
+    out = streaming_attention(q, k, v, scale, use_pallas)
     out = out.transpose(1, 0, 2).reshape(N, C)
     return out @ proj_kernel + proj_bias

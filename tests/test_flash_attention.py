@@ -48,3 +48,107 @@ def test_batch_token_big_matches_small_module():
         num_heads=4, use_pallas=False,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+@pytest.mark.parametrize("N,chunk", [(64, 64), (100, 32), (512, 128)])
+def test_streaming_attention_grads_match_dense(N, chunk):
+    """The custom flash-attention backward (streaming scans) must produce
+    the same (dq, dk, dv) as autodiff of the dense softmax attention.
+    This is the gradient path MoCoAtt attn='all'/'dual' training takes
+    over 2B+K tokens — the raw pallas_call forward has no autodiff rule
+    at all, and scan-autodiff of the chunked forward would materialize
+    the full O(N^2) probability matrix."""
+    from moma_tpu.ops.flash_attention import streaming_attention
+
+    rs = np.random.RandomState(2)
+    H, d = 4, 32
+    q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    scale = d**-0.5
+    # non-uniform cotangent so dk/dv are exercised asymmetrically
+    w = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+
+    def loss_stream(q, k, v):
+        return jnp.sum(streaming_attention(q, k, v, scale, False, chunk) * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense(q, k, v, scale) * w)
+
+    got = jax.grad(loss_stream, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, wgrad, name in zip(got, want, "q k v".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wgrad), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_streaming_attention_grads_bf16_inputs():
+    """bf16 q/k/v (the half_precision training path): grads come back in
+    the input dtype and match the f32 computation at bf16 tolerance."""
+    from moma_tpu.ops.flash_attention import streaming_attention
+
+    rs = np.random.RandomState(3)
+    H, N, d = 2, 96, 16
+    qf = rs.randn(H, N, d).astype(np.float32)
+    kf = rs.randn(H, N, d).astype(np.float32)
+    vf = rs.randn(H, N, d).astype(np.float32)
+    scale = d**-0.5
+
+    def loss(q, k, v):
+        return jnp.sum(streaming_attention(q, k, v, scale, False, 32))
+
+    g_bf = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(kf, jnp.bfloat16),
+        jnp.asarray(vf, jnp.bfloat16),
+    )
+    g_f32 = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf)
+    )
+    for gb, gf in zip(g_bf, g_f32):
+        assert gb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(gb, np.float32), np.asarray(gf), atol=0.15, rtol=0.1
+        )
+
+
+def test_batch_token_big_is_differentiable():
+    """jax.grad through the full big-N attention block (qkv proj included)
+    — the exact call the MoMA step makes for attn='all' at large K."""
+    rs = np.random.RandomState(4)
+    N, C = 96, 64
+    x = jnp.asarray(rs.randn(N, C).astype(np.float32))
+    kern_qkv = jnp.asarray(rs.randn(C, 3 * C).astype(np.float32) * 0.05)
+    bias_qkv = jnp.zeros((3 * C,))
+    kern_p = jnp.asarray(rs.randn(C, C).astype(np.float32) * 0.05)
+    bias_p = jnp.zeros((C,))
+
+    def loss(x, kern_qkv, kern_p):
+        out = batch_token_attention_big(
+            x, kern_qkv, bias_qkv, kern_p, bias_p, num_heads=4,
+            use_pallas=False,
+        )
+        return jnp.sum(out**2)
+
+    gx, gqkv, gp = jax.grad(loss, argnums=(0, 1, 2))(x, kern_qkv, kern_p)
+    # against the dense module path (pure autodiff, no custom vjp)
+    from moma_tpu.moma.cmo import BatchTokenAttention
+
+    mod = BatchTokenAttention(C, num_heads=4, qkv_bias=True)
+    params = {
+        "params": {
+            "TorchLinear_0": {"kernel": kern_qkv, "bias": bias_qkv},
+            "TorchLinear_1": {"kernel": kern_p, "bias": bias_p},
+        }
+    }
+
+    def loss_dense(x, kern_qkv, kern_p):
+        p2 = jax.tree_util.tree_map(lambda a: a, params)
+        p2["params"]["TorchLinear_0"]["kernel"] = kern_qkv
+        p2["params"]["TorchLinear_1"]["kernel"] = kern_p
+        return jnp.sum(mod.apply(p2, x) ** 2)
+
+    wx, wqkv, wp = jax.grad(loss_dense, argnums=(0, 1, 2))(x, kern_qkv, kern_p)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gqkv), np.asarray(wqkv), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-4, rtol=1e-4)
