@@ -78,7 +78,8 @@ def _time_steps(step_fn, state, batch, rng, steps, warmup, per_step_fetch=False)
 
 
 def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
-                     teacher_quant="none", remat=False):
+                     teacher_quant="none", remat=False,
+                     mem="MoCo", attn="self"):
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -96,7 +97,7 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     cfg.data.image_size = image_size
     cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
     cfg.moma = MomaConfig(feat_dim=512, nce_k=16384, nce_t=0.15, alpha=0.999,
-                          mem="MoCo", head="mlp", attn="self",
+                          mem=mem, head="mlp", attn=attn,
                           teacher_quant=teacher_quant)
     cfg.run.remat = remat
     cfg.model_s.n_cls = 4
@@ -110,7 +111,7 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     vars_t = model.init(k2, sample, train=False)
     fs, _ = probe_shapes(model, image_size, batch_size)
     s_dim = fs[-1][-1]
-    heads = CMOHeads(head="mlp", attn="self", feat_dim=512, s_dim=s_dim,
+    heads = CMOHeads(head="mlp", attn=attn, feat_dim=512, s_dim=s_dim,
                      t_dim=s_dim, dtype=jnp.bfloat16)
     cmo_params, cmo_bs = heads.init(k3)
     queue = QueueState.create(k4, cfg.moma.nce_k, 512)

@@ -20,34 +20,63 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     """Thin orbax wrapper: latest/ for resume, best_acc/ and best_f1/ for
-    the reference's best-metric snapshots."""
+    the reference's best-metric snapshots.
+
+    Saves can be ASYNC (`block=False`): orbax's StandardCheckpointer
+    copies arrays to host synchronously, then commits to disk on a
+    background thread — the per-epoch 'latest' save overlaps its disk
+    write with the next epoch's device compute instead of stalling the
+    loop.  The `<tag>.meta.json` sidecar is only written once the commit
+    finishes (wait()), preserving the invariant that a meta file marks a
+    COMPLETE checkpoint (resume and preemption logic read it)."""
 
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_meta: list = []
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
 
-    def save(self, tag: str, state: Any, meta: Optional[dict] = None):
-        path = self._path(tag)
-        self._ckptr.save(path, state, force=True)
+    def _write_meta(self, tag: str, meta: dict) -> None:
+        with open(os.path.join(self.directory, f"{tag}.meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
+
+    def wait(self) -> None:
+        """Block until every in-flight save has committed, then write the
+        meta sidecars of the saves that were issued with block=False."""
         self._ckptr.wait_until_finished()
-        if meta is not None:
-            with open(os.path.join(self.directory, f"{tag}.meta.json"), "w") as f:
-                json.dump(meta, f, indent=2, default=float)
+        for tag, meta in self._pending_meta:
+            self._write_meta(tag, meta)
+        self._pending_meta.clear()
+
+    def save(self, tag: str, state: Any, meta: Optional[dict] = None,
+             block: bool = True):
+        # orbax would wait for the previous commit itself before starting a
+        # new one; waiting here first lets us also flush its meta sidecar
+        self.wait()
+        self._ckptr.save(self._path(tag), state, force=True)
+        if block:
+            self._ckptr.wait_until_finished()
+            if meta is not None:
+                self._write_meta(tag, meta)
+        elif meta is not None:
+            self._pending_meta.append((tag, meta))
 
     def restore(self, tag: str, target: Any) -> Any:
         """Restore into the structure of `target` (an abstract or concrete
         pytree of the same shape)."""
+        self.wait()
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._ckptr.restore(self._path(tag), abstract)
 
     def exists(self, tag: str) -> bool:
+        self.wait()
         return os.path.isdir(self._path(tag))
 
     def meta(self, tag: str) -> Optional[dict]:
+        self.wait()
         p = os.path.join(self.directory, f"{tag}.meta.json")
         if os.path.exists(p):
             with open(p) as f:

@@ -262,6 +262,7 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
             print(f"[nan-guard] {e}; stopping — resume from the last "
                   f"epoch-end checkpoint (epoch {epoch - 1})")
             stats.update_epoch(epoch, {"nan_aborted": True})
+            ckpt.wait()  # flush in-flight async save + meta
             return state, {"best_acc": best_acc, "best_f1": best_f1,
                            "run_dir": run_dir, "nan_aborted": True}
         if stop_guard.stopping:
@@ -297,14 +298,16 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
         if state.extra is not None:
             save_state["extra"] = state.extra
         meta = {"epoch": epoch, **row}
-        ckpt.save("latest", save_state, meta)
+        # async: the disk commit overlaps the next epoch's compute
+        ckpt.save("latest", save_state, meta, block=False)
         if val["acc"] > best_acc:
             best_acc = val["acc"]
-            ckpt.save("best_acc", save_state, meta)
+            ckpt.save("best_acc", save_state, meta, block=False)
         if val["f1"] > best_f1:
             best_f1 = val["f1"]
-            ckpt.save("best_f1", save_state, meta)
+            ckpt.save("best_f1", save_state, meta, block=False)
 
+    ckpt.wait()  # commit the final epoch's async saves + meta sidecars
     stats.write_params_json(
         run_dir,
         {

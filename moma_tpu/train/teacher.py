@@ -190,6 +190,7 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                 print(f"[nan-guard] {e}; stopping — resume from the last "
                       f"epoch-end checkpoint (epoch {epoch - 1})")
                 stats.update_epoch(epoch, {"nan_aborted": True})
+                ckpt.wait()  # flush in-flight async save + meta
                 return state, {"best_acc": best_acc, "best_f1": best_f1,
                                "run_dir": run_dir, "nan_aborted": True}
             if stop_guard.stopping:
@@ -220,14 +221,17 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
             save_state = {"params": state.params, "batch_stats": state.batch_stats,
                           "opt_state": state.opt_state, "step": state.step}
             meta = {"epoch": epoch, **{k: v for k, v in row.items() if k != "conf_mat"}}
-            ckpt.save("latest", save_state, meta)
+            # async: the disk commit overlaps the next epoch's compute;
+            # meta sidecars land at the next ckpt op / final wait()
+            ckpt.save("latest", save_state, meta, block=False)
             if val["acc"] > best_acc:
                 best_acc = val["acc"]
-                ckpt.save("best_acc", save_state, meta)
+                ckpt.save("best_acc", save_state, meta, block=False)
             if val["f1"] > best_f1:
                 best_f1 = val["f1"]
-                ckpt.save("best_f1", save_state, meta)
+                ckpt.save("best_f1", save_state, meta, block=False)
 
+    ckpt.wait()  # commit the final epoch's async saves + meta sidecars
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(state.params)
     )

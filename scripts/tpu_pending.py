@@ -97,6 +97,46 @@ def item_serving_vit():
                          "--modes", "f32,bf16,int8,int8_dynamic"])
 
 
+def item_attn_grad_pallas():
+    """Correctness: jax.grad through the PALLAS flash forward on the real
+    chip (streaming_attention custom VJP).  Before the fix this path
+    raised at trace time — MoCoAtt attn='all' training was unrunnable on
+    TPU at any K > 2048."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moma_tpu.ops.flash_attention import streaming_attention
+
+    H, N, d = 4, 2560, 128
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    w = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+
+    def make_loss(use_pallas):
+        def loss(q, k, v):
+            return jnp.sum(
+                streaming_attention(q, k, v, d**-0.5, use_pallas) * w)
+        return loss
+
+    gp = jax.jit(jax.grad(make_loss(True), argnums=(0, 1, 2)))(q, k, v)
+    gc = jax.jit(jax.grad(make_loss(False), argnums=(0, 1, 2)))(q, k, v)
+    rel = [float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9))
+           for a, b in zip(gp, gc)]
+    assert all(r < 1e-4 for r in rel), rel
+    return {"rel_l2_dq_dk_dv": [round(r, 8) for r in rel]}
+
+
+def item_moma_attn_all():
+    """Throughput of the newly-runnable config: MoCoAtt attn='all' over
+    2B+K = 16640 tokens (flash fwd + streaming-scan bwd), BS128."""
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=128, mem="MoCoAtt", attn="all"), 1)}
+
+
 ITEMS = [
     ("moma_bs128", item_moma_bs128),
     ("moma_bs128_tq", item_moma_bs128_tq),
@@ -104,6 +144,8 @@ ITEMS = [
     ("moma_bs256_remat", item_moma_bs256_remat),
     ("serving_effib0", item_serving_effib0),
     ("serving_vit", item_serving_vit),
+    ("attn_grad_pallas", item_attn_grad_pallas),
+    ("moma_attn_all", item_moma_attn_all),
 ]
 
 
