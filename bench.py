@@ -79,7 +79,7 @@ def _time_steps(step_fn, state, batch, rng, steps, warmup, per_step_fetch=False)
 
 def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
                      teacher_quant="none", remat=False,
-                     mem="MoCo", attn="self"):
+                     mem="MoCo", attn="self", grad_accum=1, nce_k=16384):
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -96,10 +96,11 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     cfg.data.batch_size = batch_size
     cfg.data.image_size = image_size
     cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
-    cfg.moma = MomaConfig(feat_dim=512, nce_k=16384, nce_t=0.15, alpha=0.999,
+    cfg.moma = MomaConfig(feat_dim=512, nce_k=nce_k, nce_t=0.15, alpha=0.999,
                           mem=mem, head="mlp", attn=attn,
                           teacher_quant=teacher_quant)
     cfg.run.remat = remat
+    cfg.run.grad_accum = grad_accum
     cfg.model_s.n_cls = 4
 
     mesh = create_mesh()

@@ -167,14 +167,16 @@ class RunConfig:
     # gradient accumulation: split each batch into M equal microbatches
     # scanned sequentially with ONE optimizer update — the activation-
     # memory lever for backbones/batches that overflow HBM.  Supported on
-    # the vanilla and comparison-distill steps (microbatch = virtual DDP
-    # rank; BN sees per-microbatch stats like the reference's unsynced
-    # per-GPU BN).  Rejected on the MoMA path: every rank's contrast loss
-    # reads ALL ranks' same-step keys (all_k, contrast_trainer.py:83-88),
-    # so microbatches are coupled through the queue and a sequential scan
-    # cannot reproduce the reference step without holding every
-    # microbatch's activations — which is the memory this flag exists to
-    # save.
+    # all three steps (microbatch = virtual DDP rank; BN sees
+    # per-microbatch stats like the reference's unsynced per-GPU BN).
+    # On the MoMA path the same-step key coupling (all ranks' contrast
+    # losses read all_k, contrast_trainer.py:83-88) is resolved by
+    # computing ALL microbatches' keys first in gradient-free scans, then
+    # accumulating student grads per microbatch against the full all_k —
+    # the reference's M-rank step run sequentially, holding one
+    # microbatch's activations at a time (train/moma.py
+    # _make_moma_accum_step; parity oracle vs the bn='local' shard_map
+    # path in tests/test_moma_grad_accum.py).  Requires bn='global'.
     grad_accum: int = 1
     # full-forward rematerialization (jax.checkpoint) of the STUDENT's
     # differentiated forward: backward recomputes the forward instead of
@@ -276,9 +278,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into M microbatches scanned "
                         "sequentially with one optimizer update (activation-"
-                        "memory lever; vanilla + comparison distillers only "
-                        "— the MoMA step couples microbatches through the "
-                        "same-step contrast keys, see RunConfig.grad_accum)")
+                        "memory lever; microbatch = virtual DDP rank on all "
+                        "three paths — the MoMA step computes all ranks' "
+                        "same-step keys gradient-free first, then "
+                        "accumulates; see RunConfig.grad_accum)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the student forward in the backward "
                         "pass (activation-memory lever; composes with "

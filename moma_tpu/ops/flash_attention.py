@@ -162,8 +162,14 @@ def streaming_attention(
     probability tile — the full O(N^2) score matrix flash attention
     exists to avoid.  The custom VJP recomputes each tile from the saved
     (q, k, v) plus one cheap stats pass: O(N·chunk) memory both ways."""
-    if use_pallas and q.shape[1] % 256 == 0:
-        return flash_attention(q, k, v, scale)
+    N = q.shape[1]
+    if use_pallas and N % 256 == 0:
+        # block_k must also divide N: the MoCoAtt 'all' token count
+        # 2B+K is a 256-multiple but not always a 512-multiple
+        # (BS128 + K=16384 -> 16640 = 65*256)
+        return flash_attention(
+            q, k, v, scale, block_k=512 if N % 512 == 0 else 256
+        )
     return chunked_attention(q, k, v, scale, chunk)
 
 

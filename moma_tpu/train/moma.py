@@ -221,16 +221,28 @@ def make_moma_train_step(
         kl_train_bn = kl_bn_mode == "train"
 
     if getattr(cfg.run, "grad_accum", 1) > 1:
-        # not a missing feature but a semantic conflict: every reference
-        # rank's contrast loss reads ALL ranks' same-step keys (all_k,
-        # contrast_trainer.py:83-88), so microbatches couple through the
-        # queue — a sequential scan would either change the negatives
-        # (same-step keys entering early) or hold every microbatch's
-        # activations, defeating the flag's purpose.  Erroring beats a
-        # silently different objective (cf. RunConfig.grad_accum).
-        raise ValueError("--grad_accum > 1 is not supported for the MoMA "
-                         "step; use the vanilla/comparison paths or shrink "
-                         "the batch")
+        # Microbatch = virtual DDP rank (contrast_trainer's world): all
+        # ranks' same-step keys (all_k, contrast_trainer.py:83-88) are
+        # computed FIRST in a gradient-free scan (no activations held),
+        # then the student grads accumulate per microbatch against the
+        # full all_k and the pre-update queue — the reference's M-rank
+        # step, sequentially.  See _make_moma_accum_step.
+        if getattr(cfg.run, "bn", "global") != "global":
+            raise ValueError(
+                "--grad_accum with --bn local/sync would nest two rank "
+                "semantics (microbatches ARE the virtual DDP ranks); use "
+                "bn='global' with grad_accum, or bn='local' alone")
+        if use_fused_teacher:
+            raise ValueError("--grad_accum does not compose with "
+                             "fused_teacher (single-chip jit optimization)")
+        if fast_teacher:
+            raise ValueError("--grad_accum does not compose with "
+                             "fast_teacher (per-rank KL/key forwards are "
+                             "distinct passes in the accumulated step)")
+        return _make_moma_accum_step(
+            cfg, heads, augment_fn, donate=donate, cross_arch=cross_arch,
+            kl_train_bn=kl_train_bn, M=int(cfg.run.grad_accum),
+        )
     bn_mode = getattr(cfg.run, "bn", "global")
     if bn_mode not in ("global", "local", "sync"):
         raise ValueError(f"unknown bn mode {bn_mode!r}")
@@ -626,6 +638,392 @@ def make_moma_train_step(
     if bn_mode == "global":
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     return _shard_mapped_step(step, mesh, bn_mode, donate)
+
+
+def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
+                          kl_train_bn, M):
+    """MoMA step with gradient accumulation: microbatch i IS virtual DDP
+    rank i of an M-rank reference run (contrast_trainer.py's world),
+    executed sequentially on one mesh.
+
+    The coupling that used to make this 'impossible' — every rank's
+    contrast loss reads ALL ranks' same-step keys (all_k,
+    contrast_trainer.py:83-88) — dissolves because keys are GRADIENT-FREE:
+    phase A scans the teacher KL forwards per rank (nothing retained),
+    phase B scans the post-EMA momentum-encoder key forwards over the
+    Shuffle-BN-permuted global batch (only the (B, D) keys retained),
+    and phase C scans the student grads per rank against the full all_k
+    and the PRE-update queue (read-before-write, mem_moco.py:89-99),
+    holding one microbatch's activations at a time.  One optimizer step,
+    one queue advance by B — exactly the reference's M-rank step.
+
+    Per-rank semantics mirrored from the bn='local' shard_map path (the
+    parity oracle, tests/test_moma_grad_accum.py):
+      - BN statistics are per-microbatch (per-rank); the running-stat
+        writes are averaged at step end (pmean's sequential equivalent —
+        averaging commutes with the linear EMA write).
+      - augment rng: fold_in(k_aug, i) == fold_in(k_aug, axis_index).
+      - gradients/metrics averaged over microbatches == DDP all-reduce.
+    """
+    import functools
+
+    from moma_tpu.moma.queue import queue_update
+
+    c, dv, b = cfg.distill.cls, cfg.distill.div, cfg.distill.beta
+    kd_T = cfg.distill.kd_T
+    alpha = cfg.moma.alpha
+    nce_t = cfg.moma.nce_t
+    mem = cfg.moma.mem
+    attn = cfg.moma.attn
+    shuffle_bn = cfg.moma.shuffle_bn
+    use_remat = bool(getattr(cfg.run, "remat", False))
+    need_kt = cross_arch and mem in ("MoCoST", "MoCoSSTT")
+
+    def step(state: MomaState, batch, rng):
+        B = batch["image"].shape[0]
+        if B % M != 0:
+            raise ValueError(f"batch size {B} not divisible by "
+                             f"grad_accum={M}")
+        mb = B // M
+        imgs_raw = batch["image"].reshape(M, mb, *batch["image"].shape[1:])
+        labels = batch["label"].reshape(M, mb)
+
+        # rng splits in the M=1 step's order (parity with bn='local')
+        k_aug = k_perm = k_aug2 = None
+        if augment_fn is not None:
+            rng, k_aug = jax.random.split(rng)
+        if shuffle_bn and "shuffle_perm" not in batch:
+            rng, k_perm = jax.random.split(rng)
+        if mem == "MoCoSSTT" and augment_fn is not None:
+            rng, k_aug2 = jax.random.split(rng)
+
+        # ---- phase A: augment + teacher KL forward per virtual rank
+        # (gradient-free scan; each rank's BN chain starts from the
+        # pre-step running stats, like the reference's per-GPU copies)
+        def phase_kl(_, xs):
+            i, im_raw = xs
+            im = (
+                augment_fn(im_raw, jax.random.fold_in(k_aug, i))
+                if augment_fn is not None else im_raw
+            )
+            t_vars = {
+                "params": state.teacher_params,
+                "batch_stats": state.teacher_batch_stats,
+            }
+            if cross_arch:
+                feat_t, logit_t = state.teacher_apply_fn(
+                    t_vars, im, train=False
+                )
+                t_bs = state.teacher_batch_stats
+            elif kl_train_bn:
+                (feat_t, logit_t), t_mut = state.teacher_apply_fn(
+                    t_vars, im, train=True, mutable=["batch_stats"]
+                )
+                t_bs = t_mut.get("batch_stats", {})
+            else:
+                feat_t, logit_t = state.teacher_apply_fn(
+                    t_vars, im, train=False
+                )
+                t_bs = state.teacher_batch_stats
+            out = {"im": im, "logit_t": logit_t, "t_bs": t_bs}
+            if need_kt:
+                out["feat_t_last"] = feat_t[-1]
+            return None, out
+
+        _, a = jax.lax.scan(
+            phase_kl, None, (jnp.arange(M, dtype=jnp.int32), imgs_raw)
+        )
+        images = a["im"]              # (M, mb, ...) augmented
+        logit_t_per = jax.lax.stop_gradient(a["logit_t"])
+        t_bs_per = a["t_bs"]          # stacked per-rank KL-forward stats
+
+        # ---- EMA (pre-step student params; reference order loops:310)
+        cmo_params = dict(state.params["cmo"])
+        key_head = "embed_ema" if cross_arch else "embed_t"
+        if cross_arch:
+            new_momentum_params = ema_update(
+                state.ema_params, state.params["student"], alpha
+            )
+        else:
+            new_momentum_params = ema_update(
+                state.teacher_params, state.params["student"], alpha
+            )
+        if cfg.moma.head in ("mlp", "mlp_byol"):
+            cmo_params_key_head = ema_update(
+                cmo_params[key_head], state.params["cmo"]["embed_s"], alpha
+            )
+        else:
+            cmo_params_key_head = cmo_params[key_head]
+
+        # ---- Shuffle-BN permutation over the GLOBAL (all-rank) batch
+        img_shape = images.shape[2:]
+        all_images = images.reshape(B, *img_shape)
+        if shuffle_bn:
+            if "shuffle_perm" in batch:
+                perm = batch["shuffle_perm"]
+            else:
+                perm = jax.random.permutation(k_perm, B)
+            inv = jnp.argsort(perm)
+            key_images = all_images[perm].reshape(M, mb, *img_shape)
+        else:
+            key_images = images
+
+        # ---- phase B: momentum-encoder key forwards per rank (no grad);
+        # rank i's BN chain continues from ITS KL-forward stats
+        def phase_key(_, xs):
+            key_im, t_bs = xs
+            if cross_arch:
+                (feat_key, _), m_mut = state.apply_fn(
+                    {
+                        "params": new_momentum_params,
+                        "batch_stats": state.ema_batch_stats,
+                    },
+                    key_im, train=True, mutable=["batch_stats"],
+                )
+            else:
+                (feat_key, _), m_mut = state.teacher_apply_fn(
+                    {"params": new_momentum_params, "batch_stats": t_bs},
+                    key_im, train=True, mutable=["batch_stats"],
+                )
+            return None, {
+                "feat_key_last": feat_key[-1],
+                "m_bs": m_mut.get("batch_stats", {}),
+            }
+
+        _, kb = jax.lax.scan(phase_key, None, (key_images, t_bs_per))
+        # per-rank running-stat writes averaged (== bn='local' pmean)
+        new_momentum_bs = jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=0), kb["m_bs"]
+        )
+        feat_key_flat = kb["feat_key_last"].reshape(
+            B, *kb["feat_key_last"].shape[2:]
+        )
+        # momentum head in eval mode (loops:313) — row-wise, safe on the
+        # concatenated batch
+        k_emb_full, _ = heads.embed(
+            key_head,
+            {**cmo_params, key_head: cmo_params_key_head},
+            state.batch_stats["cmo"],
+            feat_key_flat,
+            train=False,
+        )
+        k_emb_full = jax.lax.stop_gradient(k_emb_full)
+        if shuffle_bn:
+            all_k = k_emb_full[inv]     # unshuffle (contrast_trainer:124-131)
+        else:
+            all_k = k_emb_full
+        k_per = all_k.reshape(M, mb, all_k.shape[-1])
+
+        kt_per = all_kt = None
+        if need_kt:
+            feat_t_flat = a["feat_t_last"].reshape(
+                B, *a["feat_t_last"].shape[2:]
+            )
+            all_kt, _ = heads.embed(
+                "embed_t", cmo_params, state.batch_stats["cmo"],
+                jax.lax.stop_gradient(feat_t_flat), train=False,
+            )
+            all_kt = jax.lax.stop_gradient(all_kt)
+            kt_per = all_kt.reshape(M, mb, all_kt.shape[-1])
+
+        # ---- phase C: student grads per virtual rank vs the full all_k
+        # and the PRE-update queue; accumulate (DDP all-reduce average)
+        def student_fwd(p, bs, im):
+            return state.apply_fn(
+                {"params": p, "batch_stats": bs}, im,
+                train=True, mutable=["batch_stats"],
+            )
+
+        if use_remat:
+            student_fwd = jax.checkpoint(student_fwd)
+
+        params_in = {"student": state.params["student"], "cmo": cmo_params}
+
+        def loss_fn(params, i, im, lab, logit_t, k_i, kt_i, im_raw):
+            (feat_s, logit_s), mut = student_fwd(
+                params["student"], state.batch_stats["student"], im
+            )
+            loss_cls = F.cross_entropy(logit_s, lab)
+            loss_div = F.kd_kl(logit_s, logit_t, kd_T)
+            q, new_embed_s_bs = heads.embed(
+                "embed_s", params["cmo"], state.batch_stats["cmo"],
+                feat_s[-1], train=True,
+            )
+            attn_fns = heads.attn_fns(params["cmo"])
+            if mem == "MoCoAtt":
+                logits, _ = step_moco_att(
+                    state.queue, q, k_i, all_k, nce_t, attn, attn_fns
+                )
+                logits_list = [logits]
+            elif mem in ("MoCoST", "MoCoSSTT"):
+                q_in, k_in = q, k_i
+                kt_in = kt_i if kt_per is not None else k_i
+                if attn == "self" and attn_fns:
+                    q_in = attn_fns["atts_q"](q_in)
+                    k_in = attn_fns["atts_k"](k_in)
+                if mem == "MoCoSSTT":
+                    im2 = (
+                        augment_fn(im_raw, jax.random.fold_in(k_aug2, i))
+                        if augment_fn is not None else im
+                    )
+                    (feat_s2, _), _ = student_fwd(
+                        params["student"], state.batch_stats["student"], im2
+                    )
+                    qt_in, _ = heads.embed(
+                        "embed_s", params["cmo"], state.batch_stats["cmo"],
+                        feat_s2[-1], train=True,
+                    )
+                    if attn == "self" and attn_fns:
+                        qt_in = attn_fns["atts_q"](qt_in)
+                    # enqueue handled once outside; new_queue here is DCE'd
+                    ls, lst, lts, ltt, _ = step_moco_sstt(
+                        state.queue, q_in, k_in, qt_in, kt_in,
+                        None, None, nce_t,
+                    )
+                    logit_s_out = logit_s
+                    logits_list = [ls, lst, lts, ltt]
+                else:
+                    ls, lst, _ = step_moco_st(
+                        state.queue, q_in, k_in, kt_in, None, None, nce_t
+                    )
+                    logits_list = [ls]
+            else:  # MoCo
+                q_in, k_in = q, k_i
+                if attn == "self" and attn_fns:
+                    q_in = attn_fns["atts_q"](q_in)
+                    k_in = attn_fns["atts_k"](k_in)
+                logits, _ = step_moco(state.queue, q_in, k_in, None, nce_t)
+                logits_list = [logits]
+            loss_kd = sum(contrast_ce(lg) for lg in logits_list) / len(
+                logits_list
+            )
+            total = c * loss_cls + dv * loss_div + b * loss_kd
+            new_bs = {
+                "student": mut.get("batch_stats", {}),
+                "cmo": (
+                    {**state.batch_stats["cmo"], "embed_s": new_embed_s_bs}
+                    if new_embed_s_bs is not None
+                    else state.batch_stats["cmo"]
+                ),
+            }
+            aux = (loss_cls, loss_div, loss_kd, logit_s, new_bs)
+            return total, aux
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def phase_grad(carry, xs):
+            g_sum, m_sum, bs_sum = carry
+            (total, (loss_cls, loss_div, loss_kd, logit_s, new_bs)), grads = (
+                grad_fn(
+                    params_in, xs["i"], xs["im"], xs["lab"], xs["logit_t"],
+                    xs["k"], xs.get("kt"), xs.get("im_raw"),
+                )
+            )
+            lab = xs["lab"]
+            mets = {
+                "loss": total,
+                "loss_cls": loss_cls,
+                "loss_div": loss_div,
+                "loss_kd": loss_kd,
+                "acc1": jnp.mean(
+                    (jnp.argmax(logit_s, -1) == lab).astype(jnp.float32)
+                )
+                * 100.0,
+                "acc5": jnp.mean(
+                    jnp.any(
+                        jax.lax.top_k(logit_s, min(5, logit_s.shape[-1]))[1]
+                        == lab[:, None],
+                        axis=-1,
+                    ).astype(jnp.float32)
+                )
+                * 100.0,
+            }
+            add = lambda t, u: jax.tree_util.tree_map(jnp.add, t, u)
+            return (add(g_sum, grads), add(m_sum, mets),
+                    add(bs_sum, new_bs)), None
+
+        xs = {
+            "i": jnp.arange(M, dtype=jnp.int32),
+            "im": images,
+            "lab": labels,
+            "logit_t": logit_t_per,
+            "k": k_per,
+        }
+        if kt_per is not None:
+            xs["kt"] = kt_per
+        if mem == "MoCoSSTT":
+            xs["im_raw"] = imgs_raw
+        zeros_like_f32 = functools.partial(
+            jax.tree_util.tree_map, lambda x: jnp.zeros(x.shape, x.dtype)
+        )
+        g0 = zeros_like_f32(params_in)
+        m0 = {k: jnp.zeros((), jnp.float32)
+              for k in ("loss", "loss_cls", "loss_div", "loss_kd",
+                        "acc1", "acc5")}
+        bs0 = zeros_like_f32(state.batch_stats)
+        (g_sum, m_sum, bs_sum), _ = jax.lax.scan(
+            phase_grad, (g0, m0, bs0), xs
+        )
+        mean_over_m = functools.partial(
+            jax.tree_util.tree_map, lambda x: x / M
+        )
+        grads = mean_over_m(g_sum)
+        metrics = mean_over_m(m_sum)
+        new_bs = mean_over_m(bs_sum)
+
+        # ---- ONE queue advance by the global key count (mem_moco.py:99):
+        # enqueue keys use the PRE-step attention params — gradients never
+        # flow into the enqueue (the queue is detached when read)
+        attn_fns_pre = heads.attn_fns(cmo_params)
+        if mem == "MoCo":
+            keys_in = (
+                attn_fns_pre["atts_queue"](all_k)
+                if attn == "self" and attn_fns_pre else all_k
+            )
+            new_queue = queue_update(state.queue, {"memory": keys_in})
+        elif mem == "MoCoAtt":
+            new_queue = queue_update(state.queue, {"memory": all_k})
+        else:  # MoCoST / MoCoSSTT
+            if attn == "self" and attn_fns_pre:
+                # atts_k mixes only within a rank's rows (per-rank
+                # batch-token attention) — vmap over the rank axis
+                k_in_all = jax.vmap(attn_fns_pre["atts_k"])(k_per).reshape(
+                    B, -1
+                )
+            else:
+                k_in_all = all_k
+            new_queue = queue_update(
+                state.queue,
+                {
+                    "memory_s": k_in_all,
+                    "memory_t": all_kt if all_kt is not None else all_k,
+                },
+            )
+
+        grads["cmo"][key_head] = jax.tree_util.tree_map(
+            jnp.zeros_like, grads["cmo"][key_head]
+        )
+        replacements = dict(batch_stats=new_bs, queue=new_queue)
+        if cross_arch:
+            replacements.update(
+                ema_params=new_momentum_params,
+                ema_batch_stats=new_momentum_bs,
+            )
+        else:
+            replacements.update(
+                teacher_params=new_momentum_params,
+                teacher_batch_stats=new_momentum_bs,
+            )
+        new_state = state.apply_gradients(grads, **replacements)
+        new_cmo = dict(new_state.params["cmo"])
+        new_cmo[key_head] = cmo_params_key_head
+        new_state = new_state.replace(
+            params={**new_state.params, "cmo": new_cmo}
+        )
+        metrics["queue_ptr"] = new_queue.ptr
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def _shard_map_fn():

@@ -97,6 +97,41 @@ def item_serving_vit():
                          "--modes", "f32,bf16,int8,int8_dynamic"])
 
 
+def item_moma_bs512():
+    """Does the faithful config fit at BS512@512px on one v5e chip?
+    (expected OOM — the point of the grad-accum comparison below)."""
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=512, steps=10, warmup=3), 1)}
+
+
+def item_moma_bs512_accum4():
+    """The memory lever doing its job: effective batch 512 as 4 virtual
+    DDP ranks of 128 (train/moma.py _make_moma_accum_step) — one
+    microbatch's activations held at a time."""
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=512, grad_accum=4,
+                               steps=10, warmup=3), 1)}
+
+
+def item_moma_k65536():
+    """Queue scaling on one chip: K=65536 (4x the reference's 16384)."""
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=128, nce_k=65536), 1)}
+
+
+def item_moma_k262144():
+    """K=262144 (16x): the 512 MB f32 bank + (B, K) logits still fit —
+    the region where the reference's per-GPU replicated bank + dense
+    attention design has long since died."""
+    import bench
+    return {"img_per_s_chip": round(
+        bench.bench_moma_histo(batch_size=128, nce_k=262144,
+                               steps=10, warmup=3), 1)}
+
+
 def item_attn_grad_pallas():
     """Correctness: jax.grad through the PALLAS flash forward on the real
     chip (streaming_attention custom VJP).  Before the fix this path
@@ -146,6 +181,10 @@ ITEMS = [
     ("serving_vit", item_serving_vit),
     ("attn_grad_pallas", item_attn_grad_pallas),
     ("moma_attn_all", item_moma_attn_all),
+    ("moma_bs512", item_moma_bs512),
+    ("moma_bs512_accum4", item_moma_bs512_accum4),
+    ("moma_k65536", item_moma_k65536),
+    ("moma_k262144", item_moma_k262144),
 ]
 
 

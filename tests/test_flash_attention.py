@@ -152,3 +152,23 @@ def test_batch_token_big_is_differentiable():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gqkv), np.asarray(wqkv), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("N,want_bk", [(16384, 512), (16640, 256), (17152, 256)])
+def test_streaming_pallas_block_k_divides_n(monkeypatch, N, want_bk):
+    """The Pallas route must pick a block_k that divides N: the MoCoAtt
+    'all' token count 2B+K is always a 256-multiple but NOT always a
+    512-multiple (BS128 + K=16384 -> 16640 = 65*256; caught on TPU)."""
+    import moma_tpu.ops.flash_attention as fa
+
+    seen = {}
+
+    def fake_flash(q, k, v, scale, block_q=256, block_k=512):
+        seen["block_q"], seen["block_k"] = block_q, block_k
+        return fa.chunked_attention(q, k, v, scale)
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    q = jnp.zeros((1, N, 8), jnp.float32)
+    fa.streaming_attention(q, q, q, 1.0, True)
+    assert seen["block_k"] == want_bk
+    assert N % seen["block_q"] == 0 and N % seen["block_k"] == 0

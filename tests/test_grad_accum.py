@@ -196,16 +196,27 @@ def test_distill_crd_accum_chains_extra(mesh8):
     assert float(new_state.extra.z_v1) > 0
 
 
-def test_moma_rejects_grad_accum():
+def test_moma_grad_accum_invalid_combos_raise(mesh8):
+    """MoMA grad_accum is supported (tests/test_moma_grad_accum.py), but
+    the combos that would nest or contradict rank semantics must error."""
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.train.moma import make_moma_train_step
 
-    cfg = Config()
-    cfg.distill = DistillConfig(distill="moma")
-    cfg.moma = MomaConfig()
-    cfg.run.grad_accum = 2
-    with pytest.raises(ValueError, match="grad_accum"):
-        make_moma_train_step(cfg, heads=None, augment_fn=None)
+    def cfg_with(**run):
+        cfg = Config()
+        cfg.distill = DistillConfig(distill="moma")
+        cfg.moma = MomaConfig()
+        cfg.run.grad_accum = 2
+        for k, v in run.items():
+            setattr(cfg.run if k == "bn" else cfg.moma, k, v)
+        return cfg
+
+    with pytest.raises(ValueError, match="bn"):
+        make_moma_train_step(cfg_with(bn="local"), heads=None,
+                             augment_fn=None, mesh=mesh8)
+    with pytest.raises(ValueError, match="fast_teacher"):
+        make_moma_train_step(cfg_with(fast_teacher=True), heads=None,
+                             augment_fn=None)
 
 
 def test_cli_bridge_parses_grad_accum():
