@@ -1219,6 +1219,31 @@ def run_moma(cfg: Config, synthetic: bool = False):
         )
         print(f"[moma] negative queue (K={cfg.moma.nce_k}) sharded over "
               f"'model'={mp}")
+        if cross_arch:
+            # tensor-parallel fixed teacher (models/vit_tp.py): in EmaTec
+            # mode the KL teacher is frozen (the momentum encoder is a
+            # student copy), so its weights convert ONCE to the
+            # head/hidden-sharded TP layout — each chip stores 1/mp of
+            # every block and GSPMD inserts the two per-block all-reduces.
+            # NOTE: checkpoints then hold the TP layout; resume with the
+            # same --model_parallel.
+            from moma_tpu.models.vit_tp import (
+                check_tp_teacher, is_tp_model, make_tp_vit_apply, tp_place,
+            )
+
+            if is_tp_model(teacher):
+                check_tp_teacher(
+                    teacher, mesh,
+                    getattr(cfg.moma, "teacher_quant", "none"),
+                )
+                state = state.replace(
+                    teacher_params=tp_place(state.teacher_params, teacher, mesh),
+                    teacher_apply_fn=make_tp_vit_apply(teacher, mesh),
+                )
+                print(f"[moma] ViT teacher tensor-parallel over "
+                      f"'model'={mp}: attention heads "
+                      f"{teacher.num_heads}->{teacher.num_heads // mp}/chip, "
+                      f"MLP hidden sharded")
 
     train_aug, eval_norm = augment_fns(cfg)
     if cfg.moma.kl_teacher_bn == "exact":
