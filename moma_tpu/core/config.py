@@ -162,6 +162,21 @@ class RunConfig:
     # as 'global'; exists to price the sync-BN collectives, BASELINE.md)
     bn: str = "global"
     model_parallel: int = 1
+    # Megatron-style sequence parallelism on the tensor-parallel ViT
+    # teacher (models/vit_tp.py): token-shard the residual stream between
+    # blocks so LayerNorms/residual adds run on 1/M tokens and the
+    # residual activations take 1/M memory per chip.  Requires
+    # model_parallel > 1 and a ViT teacher (cross-arch mode).
+    sequence_parallel: bool = False
+    # How the frozen ViT KL-teacher uses the 'model' axis in cross-arch
+    # mode at model_parallel > 1: 'tensor' = Megatron TP (models/vit_tp.py,
+    # heads/MLP-hidden sharded, two all-reduces per block), 'pipeline' =
+    # GPipe stages (models/vit_pp.py, depth/S blocks per chip, ppermute
+    # hops + a (S-1)/(T+S-1) bubble; no width divisibility needed).
+    teacher_parallel: str = "tensor"
+    # GPipe microbatch count T for teacher_parallel='pipeline'
+    # (0 = one per stage); per-device batch must divide by T.
+    pp_microbatch: int = 0
     log_every_n_steps: int = 50
     donate: bool = True
     # gradient accumulation: split each batch into M equal microbatches
@@ -275,6 +290,20 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--sync_bn", action="store_true",
                    help="alias for --bn sync (cross-replica BN statistics)")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-style SP on the tensor-parallel ViT "
+                        "teacher: token-shard the residual stream between "
+                        "blocks (1/M residual activations + sharded "
+                        "LayerNorms); requires --model_parallel > 1 and a "
+                        "ViT teacher")
+    p.add_argument("--teacher_parallel", type=str, default="tensor",
+                   choices=["tensor", "pipeline"],
+                   help="how the frozen ViT teacher uses the 'model' axis "
+                        "at --model_parallel > 1: Megatron tensor "
+                        "parallelism (default) or GPipe pipeline stages")
+    p.add_argument("--pp_microbatch", type=int, default=0,
+                   help="GPipe microbatch count for --teacher_parallel "
+                        "pipeline (0 = one per stage)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into M microbatches scanned "
                         "sequentially with one optimizer update (activation-"
@@ -354,6 +383,9 @@ def _cfg_from_common(a) -> Config:
         half_precision=not a.fp32,
         bn=_resolve_bn(a),
         model_parallel=a.model_parallel,
+        sequence_parallel=a.sequence_parallel,
+        teacher_parallel=a.teacher_parallel,
+        pp_microbatch=a.pp_microbatch,
         grad_accum=a.grad_accum,
         remat=a.remat,
         resume=a.resume,

@@ -108,3 +108,27 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
 def pad_to_multiple(n: int, m: int) -> int:
     """Round n up to a multiple of m (static-shape padding for eval tails)."""
     return int(math.ceil(n / m) * m)
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax versions: `jax.shard_map` since 0.8 (kwarg
+    `check_vma`), `jax.experimental.shard_map.shard_map` before
+    (`check_rep`).  Replication checking is disabled — our bodies use
+    collectives the checker cannot type (ppermute rings, psum subsets)."""
+    try:
+        smap = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map as smap
+
+    import inspect
+
+    try:
+        kw = (
+            "check_vma"
+            if "check_vma" in inspect.signature(smap).parameters
+            else "check_rep"
+        )
+    except (TypeError, ValueError):  # builtins / odd wrappers
+        kw = "check_vma"
+    return smap(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                **{kw: False})

@@ -171,13 +171,27 @@ def _promote(dtype, *arrays):
     return [a.astype(dt) for a in arrays]
 
 
-def make_tp_vit_apply(model: VisionTransformer, mesh: Mesh):
+def make_tp_vit_apply(model: VisionTransformer, mesh: Mesh,
+                      sequence_parallel: bool = False):
     """Build an apply(variables, x, train=False) -> ((grid, cls), logits)
     over the TP-layout tree, signature-compatible with
     VisionTransformer.apply (the teacher_apply_fn contract).
 
     ``train`` is accepted and ignored — ViTs here have no BN/dropout, and
     the TP teacher is only used as a frozen scorer.
+
+    ``sequence_parallel`` adds Megatron-style SP on top of TP: the
+    residual stream between blocks is constrained to be sharded over the
+    TOKEN axis (`P(None, 'model', None)`), so LayerNorms and residual
+    adds run on 1/M of the tokens and each chip stores 1/M of the
+    residual activations.  GSPMD then rewrites each block's two
+    all-reduces (head/hidden contraction -> token-sharded consumer) into
+    reduce-scatters, and inserts the matching token all-gathers in front
+    of the qkv / MLP-up projections — same total collective bytes as
+    plain TP (RS + AG == AR), but sharded elementwise compute and a 1/M
+    residual-activation footprint.  The HLO structure (reduce-scatters
+    present, one all-reduce at most for the replicated epilogue) is
+    pinned by tests/test_vit_tp.py.
     """
     H = model.num_heads
     ps = model.patch_size
@@ -194,6 +208,41 @@ def make_tp_vit_apply(model: VisionTransformer, mesh: Mesh):
     mlp_down = nn.Dense(dim, dtype=dtype)
     classifier = TorchLinear(model.num_classes)
 
+    if sequence_parallel:
+        # Three anchors make GSPMD produce exactly the Megatron TP+SP
+        # schedule instead of its own fallback (which, left to sharding
+        # propagation alone, re-gathers the small weights and runs the
+        # whole block token-sharded):
+        #   seq_shard  — the residual stream is token-sharded between
+        #                blocks (LN/adds on 1/M tokens, 1/M activations)
+        #   head_shard — attention q/k/v/scores/out stay HEAD-sharded
+        #                (full tokens inside attention)
+        #   hid_shard  — the MLP hidden activation stays hidden-sharded
+        # The head/hidden contraction feeding a token-sharded consumer
+        # then lowers to a reduce-scatter, and the qkv / MLP-up inputs
+        # get the matching token all-gather.
+        seq_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None))
+        head_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None, None))
+        hid_sharding = NamedSharding(mesh, P(None, None, MODEL_AXIS))
+
+        def seq_shard(t):
+            return jax.lax.with_sharding_constraint(t, seq_sharding)
+
+        def head_shard(t):
+            return jax.lax.with_sharding_constraint(t, head_sharding)
+
+        def hid_shard(t):
+            return jax.lax.with_sharding_constraint(t, hid_sharding)
+    else:
+        def seq_shard(t):
+            return t
+
+        def head_shard(t):
+            return t
+
+        def hid_shard(t):
+            return t
+
     def apply(variables, x, train: bool = False, **_ignored):
         p = variables["params"]
         B, Hi, Wi, _ = x.shape
@@ -204,7 +253,7 @@ def make_tp_vit_apply(model: VisionTransformer, mesh: Mesh):
         x = jnp.concatenate(
             [jnp.tile(cls.astype(x.dtype), (B, 1, 1)), x], axis=1
         )
-        x = x + p["pos_embed"].astype(x.dtype)
+        x = seq_shard(x + p["pos_embed"].astype(x.dtype))
         for i in range(depth):
             bp = p[f"Block_{i}"]
             a = bp["attn"]
@@ -222,22 +271,25 @@ def make_tp_vit_apply(model: VisionTransformer, mesh: Mesh):
                 yq.dtype)[None, :, None, :]
             v = jnp.einsum("bnc,chd->bhnd", yq, vk) + a["v_bias"].astype(
                 yq.dtype)[None, :, None, :]
+            q, k, v = head_shard(q), head_shard(k), head_shard(v)
             att = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
             att = jax.nn.softmax(
                 att.astype(jnp.float32), axis=-1
             ).astype(q.dtype)
-            o = jnp.einsum("bhnm,bhmd->bhnd", att, v)
+            o = head_shard(jnp.einsum("bhnm,bhmd->bhnd", att, v))
             o, pk = _promote(dtype, o, a["proj_kernel"])
             z = jnp.einsum("bhnd,hdc->bnc", o, pk) + a["proj_bias"].astype(
                 o.dtype)
-            x = x + z
+            # under SP the head-contraction's partial sums reduce-scatter
+            # straight into the token-sharded residual
+            x = seq_shard(x + z)
             # MLP: up-projection output (and gelu) sharded over 'model'
             # via the column-sharded kernel; the row-sharded down-
             # projection contracts it -> the block's second all-reduce
             y = ln.apply({"params": bp["LayerNorm_1"]}, x)
-            h = mlp_up.apply({"params": bp["Dense_0"]}, y)
+            h = hid_shard(mlp_up.apply({"params": bp["Dense_0"]}, y))
             h = nn.gelu(h, approximate=False)
-            x = x + mlp_down.apply({"params": bp["Dense_1"]}, h)
+            x = seq_shard(x + mlp_down.apply({"params": bp["Dense_1"]}, h))
         x = ln.apply({"params": p["norm"]}, x)
         cls_out = x[:, 0].astype(jnp.float32)
         grid = x[:, 1:].reshape(B, gh, gw, dim)

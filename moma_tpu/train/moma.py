@@ -1203,6 +1203,16 @@ def run_moma(cfg: Config, synthetic: bool = False):
                 "model_parallel > 1 requires bn='global' (the shard_map "
                 "BN modes manage the mesh themselves)"
             )
+        if cfg.run.sequence_parallel and not cross_arch:
+            raise ValueError(
+                "--sequence_parallel applies to the tensor-parallel ViT "
+                "teacher (cross-arch/EmaTec mode only)"
+            )
+        if cfg.run.teacher_parallel != "tensor" and not cross_arch:
+            raise ValueError(
+                "--teacher_parallel pipeline applies to the ViT KL-teacher "
+                "(cross-arch/EmaTec mode only)"
+            )
         mp = mesh.shape["model"]
         if cfg.moma.nce_k % mp != 0:
             raise ValueError(
@@ -1231,19 +1241,67 @@ def run_moma(cfg: Config, synthetic: bool = False):
                 check_tp_teacher, is_tp_model, make_tp_vit_apply, tp_place,
             )
 
-            if is_tp_model(teacher):
+            if cfg.run.teacher_parallel == "pipeline":
+                # GPipe staging (models/vit_pp.py): depth/S blocks per
+                # chip, activations hop stage-to-stage over ppermute.
+                from moma_tpu.models.vit_pp import (
+                    check_pp_teacher, is_pp_model, make_pp_vit_apply,
+                    pp_place,
+                )
+
+                if cfg.run.sequence_parallel:
+                    raise ValueError(
+                        "--sequence_parallel applies to the TENSOR-parallel"
+                        " teacher; --teacher_parallel pipeline stages whole"
+                        " blocks (nothing to token-shard between them)"
+                    )
+                if not is_pp_model(teacher):
+                    raise ValueError(
+                        "--teacher_parallel pipeline requires a ViT family "
+                        f"teacher, got {type(teacher).__name__}"
+                    )
+                n_micro = cfg.run.pp_microbatch or mp
+                check_pp_teacher(
+                    teacher, mesh, n_micro,
+                    batch_size=cfg.data.batch_size,
+                    teacher_quant=getattr(cfg.moma, "teacher_quant", "none"),
+                )
+                state = state.replace(
+                    teacher_params=pp_place(state.teacher_params, teacher, mesh),
+                    teacher_apply_fn=make_pp_vit_apply(
+                        teacher, mesh, n_micro=n_micro),
+                )
+                print(f"[moma] ViT teacher pipeline-parallel over "
+                      f"'model'={mp}: {teacher.depth // mp} blocks/stage, "
+                      f"{n_micro} microbatches")
+            elif is_tp_model(teacher):
                 check_tp_teacher(
                     teacher, mesh,
                     getattr(cfg.moma, "teacher_quant", "none"),
                 )
                 state = state.replace(
                     teacher_params=tp_place(state.teacher_params, teacher, mesh),
-                    teacher_apply_fn=make_tp_vit_apply(teacher, mesh),
+                    teacher_apply_fn=make_tp_vit_apply(
+                        teacher, mesh,
+                        sequence_parallel=cfg.run.sequence_parallel,
+                    ),
                 )
+                sp_note = " + sequence-parallel residual stream" \
+                    if cfg.run.sequence_parallel else ""
                 print(f"[moma] ViT teacher tensor-parallel over "
                       f"'model'={mp}: attention heads "
                       f"{teacher.num_heads}->{teacher.num_heads // mp}/chip, "
-                      f"MLP hidden sharded")
+                      f"MLP hidden sharded{sp_note}")
+            elif cfg.run.sequence_parallel:
+                raise ValueError(
+                    "--sequence_parallel requires a tensor-parallel ViT "
+                    f"teacher, got {type(teacher).__name__}"
+                )
+    elif cfg.run.sequence_parallel:
+        raise ValueError("--sequence_parallel requires --model_parallel > 1")
+    elif cfg.run.teacher_parallel != "tensor":
+        raise ValueError(
+            "--teacher_parallel pipeline requires --model_parallel > 1")
 
     train_aug, eval_norm = augment_fns(cfg)
     if cfg.moma.kl_teacher_bn == "exact":

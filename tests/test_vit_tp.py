@@ -103,6 +103,62 @@ def test_tp_hlo_partitions_compute(mesh4x2):
     assert txt.count("all-gather(") == 0, "sharded weights were re-gathered"
 
 
+@pytest.mark.parametrize("mp", [2, 4])
+def test_sp_forward_parity(mp):
+    """Sequence-parallel TP (token-sharded residual stream) must match the
+    dense forward exactly like plain TP does."""
+    mesh = create_mesh(model_parallel=mp)
+    model = _small_vit()
+    v = _vit_vars(model)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    (grid, cls), logits = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(v, x)
+
+    tp = tp_place(v["params"], model, mesh)
+    apply = make_tp_vit_apply(model, mesh, sequence_parallel=True)
+    (grid2, cls2), logits2 = jax.jit(
+        lambda p, x: apply({"params": p}, x, train=False)
+    )(tp, jax.device_put(x, data_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(logits),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(grid2), np.asarray(grid),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sp_hlo_structure(mesh4x2):
+    """SP must keep the compute head/hidden-sharded (the per-block
+    all-reduces survive — left to propagation alone GSPMD instead
+    re-gathers the small weights and drops to AR=1) and add the token
+    resharding traffic (all-gathers in front of qkv / MLP-up).  On this
+    CPU backend the partial->token-sharded resharding lowers as
+    all-reduce + slice rather than reduce-scatter (verified: even the
+    canonical one-matmul RS case lowers to AR on CPU), so the pinned
+    structure is AR >= 2*depth AND AG >= 2*depth; sp=False has AG == 0
+    (test_tp_hlo_partitions_compute)."""
+    model = _small_vit(depth=3)
+    v = _vit_vars(model)
+    tp = tp_place(v["params"], model, mesh4x2)
+    apply = make_tp_vit_apply(model, mesh4x2, sequence_parallel=True)
+    x = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3)),
+        data_sharding(mesh4x2),
+    )
+    fn = jax.jit(lambda p, x: apply({"params": p}, x, train=False)[1])
+    txt = fn.lower(tp, x).compile().as_text()
+    n_ar = txt.count("all-reduce(")
+    n_ag = txt.count("all-gather(")
+    assert n_ar >= 2 * model.depth, (
+        f"compute de-sharded (weight-gather fallback): AR={n_ar}")
+    assert n_ag >= 2 * model.depth, f"no SP token resharding: AG={n_ag}"
+    # the sharded weights themselves must never be re-gathered: every
+    # all-gather output in the SP program is an activation with leading
+    # batch dim B=8 (the weight-gather fallback shows f32[32,4,8] /
+    # f32[32,128] / f32[128,32] kernel gathers)
+    import re
+    for shape in re.findall(r"all-gather\.?\d* = f32\[([\d,]+)\]", txt):
+        assert shape.startswith("8,"), f"weight re-gathered: f32[{shape}]"
+
+
 def test_tp_convert_roundtrip_values():
     """q/k/v/proj splits must index the fused layout exactly (3-major
     [3, H, hd] column ordering of the qkv Dense, models/vit.py:36)."""
@@ -248,4 +304,40 @@ def test_run_moma_wires_tp_teacher(tmp_path, capsys):
     cfg.model_t = ModelConfig(name="vit_tiny_patch16_224", n_cls=N_CLS)
     cfg.run.save_dir = str(tmp_path / "t2")
     with pytest.raises(ValueError, match="num_heads=3 not divisible"):
+        run_moma(cfg, synthetic=True)
+
+
+def test_run_moma_sequence_parallel(tmp_path, capsys):
+    """--sequence_parallel trains through run_moma on the TP ViT teacher
+    and is rejected wherever it would silently do nothing."""
+    from moma_tpu.train.moma import run_moma
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = 8
+    cfg.data.eval_batch_size = 8
+    cfg.data.image_size = 32
+    cfg.run.model_parallel = 2
+    cfg.run.sequence_parallel = True
+    cfg.run.epochs = 1
+    cfg.run.save_dir = str(tmp_path)
+    cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+    cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=64, nce_t=0.15, mem="MoCo",
+                          head="mlp", attn="self")
+    cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
+    cfg.model_t = ModelConfig(name="vit_small_patch16_224", n_cls=N_CLS)
+    state, _res = run_moma(cfg, synthetic=True)
+    assert "sequence-parallel" in capsys.readouterr().out
+
+    # SP without model parallelism is a silent no-op -> error
+    cfg.run.model_parallel = 1
+    cfg.run.save_dir = str(tmp_path / "nomp")
+    with pytest.raises(ValueError, match="model_parallel > 1"):
+        run_moma(cfg, synthetic=True)
+
+    # SP on a non-ViT (non-TP) teacher -> error
+    cfg.run.model_parallel = 2
+    cfg.model_t = ModelConfig(name="resnet32", n_cls=N_CLS)
+    cfg.run.save_dir = str(tmp_path / "conv_t")
+    with pytest.raises(ValueError, match="sequence_parallel"):
         run_moma(cfg, synthetic=True)
