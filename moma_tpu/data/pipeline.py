@@ -75,10 +75,19 @@ class Loader:
         self.train = train
         self.seed = seed
         self.epoch = 0
+        self.start_batch = 0
         self.extras = extras or {}
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def set_start_batch(self, start: int):
+        """Mid-epoch resume support (train only): the next iteration
+        starts at batch `start` of this epoch's (deterministic, seeded)
+        shuffle order — the skipped batches are pure index math, nothing
+        is loaded or decoded.  Persistent until changed;
+        train_one_epoch sets it every epoch (0 by default)."""
+        self.start_batch = start
 
     def __len__(self):
         n = len(self.ds)
@@ -118,12 +127,13 @@ class Loader:
                 (self.seed * 100003 + self.epoch) % (2**31)
             ).permutation(n)
             n_batches = n // bs
+            start = getattr(self, "start_batch", 0)
             batcher = self._native_batcher()
             depth = 4
             if batcher is not None:
-                for i in range(min(depth, n_batches)):
+                for i in range(start, min(start + depth, n_batches)):
                     batcher.submit(order[i * bs : (i + 1) * bs])
-            for i in range(n_batches):
+            for i in range(start, n_batches):
                 idx = order[i * bs : (i + 1) * bs]
                 if batcher is not None:
                     images = batcher.get()

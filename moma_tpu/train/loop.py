@@ -40,12 +40,27 @@ def train_one_epoch(
     print_freq: int = 100,
     log_fn: Optional[Callable] = None,
     stop=None,
+    start_step: int = 0,
 ) -> tuple:
     """Runs one epoch; returns (state, {'loss','acc1','acc5','time',...}).
 
     `stop` (core.preempt.GracefulStop) aborts between steps when set —
-    the returned state is consistent and checkpointable mid-epoch."""
+    the returned state is consistent and checkpointable mid-epoch; the
+    metrics' 'steps' entry records how many of the epoch's batches have
+    run in total, so the runner can persist an exact resume point.
+
+    `start_step` resumes MID-epoch: the loader (deterministic, seeded
+    shuffle) skips the first `start_step` batches by pure index math and
+    the per-step RNG folding continues at the same indices — a preempted
+    epoch finished under `start_step=k` is bit-identical to the
+    uninterrupted run (tests/test_midepoch_resume.py)."""
     loader.set_epoch(epoch)
+    if hasattr(loader, "set_start_batch"):
+        loader.set_start_batch(start_step)
+    elif start_step:
+        raise ValueError(
+            f"start_step={start_step}: this loader cannot resume mid-epoch"
+        )
     meters = {k: Meter() for k in ("loss", "acc1", "acc5", "batch_time", "data_time")}
     t0 = time.perf_counter()
     bs = loader.batch_size
@@ -56,7 +71,7 @@ def train_one_epoch(
     # per-step host round-trip
     dev_sums = None
     n_steps = 0
-    for i, batch in enumerate(loader):
+    for i, batch in enumerate(loader, start=start_step):
         if stop is not None and stop.stopping:
             break
         t1 = time.perf_counter()
@@ -102,6 +117,7 @@ def train_one_epoch(
         "batch_time": meters["batch_time"].avg,
         "data_time": meters["data_time"].avg,
         "ips": bs / max(meters["batch_time"].avg, 1e-9),
+        "steps": start_step + n_steps,
     }
 
 

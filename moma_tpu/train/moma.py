@@ -1363,6 +1363,8 @@ def run_moma(cfg: Config, synthetic: bool = False):
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
+        # exact mid-epoch resume point (see train/teacher.py)
+        resume_step = int(meta.get("resume_step", 0))
         # best-metric thresholds survive the restart (else the first
         # post-resume epoch would overwrite the real best checkpoints)
         for tag, var in (("best_acc", "val_acc"), ("best_f1", "val_f1")):
@@ -1372,8 +1374,11 @@ def run_moma(cfg: Config, synthetic: bool = False):
                     best_acc = float(m.get(var, -1.0))
                 else:
                     best_f1 = float(m.get(var, -1.0))
-        print(f"[resume] from epoch {start_epoch} "
-              f"(best_acc={best_acc:.2f}, best_f1={best_f1:.4f})")
+        print(f"[resume] from epoch {start_epoch}"
+              + (f" step {resume_step}" if resume_step else "")
+              + f" (best_acc={best_acc:.2f}, best_f1={best_f1:.4f})")
+    else:
+        resume_step = 0
 
     from moma_tpu.core.preempt import GracefulStop
 
@@ -1384,6 +1389,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
             cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
             train_loader, val_loader, test_loader, train_rng, mesh, n_cls,
             start_epoch, best_acc, best_f1, t_start, run_dir, full_state,
+            resume_step=resume_step,
         )
     finally:
         # restore prior handlers so a later Ctrl-C/SIGTERM in this process
@@ -1394,7 +1400,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
 def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
                      train_loader, val_loader, test_loader, train_rng, mesh,
                      n_cls, start_epoch, best_acc, best_f1, t_start, run_dir,
-                     full_state):
+                     full_state, resume_step=0):
     import contextlib
 
     from moma_tpu.train.loop import NonFiniteLossError
@@ -1406,14 +1412,19 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
             ctx = trace(cfg.run.profile_dir)
         else:
             ctx = contextlib.nullcontext()
+        ep_start = resume_step if epoch == start_epoch else 0
         if isinstance(step_fn, tuple):
             # kl_teacher_bn='exact': eval-BN KL forward on the epoch's
-            # first batch (per-epoch model_t.eval() reset), train-BN after
+            # first batch (per-epoch model_t.eval() reset), train-BN
+            # after.  A mid-epoch resume (ep_start > 0) already consumed
+            # the epoch's true first batch before the preemption, so the
+            # continuation uses the train-BN program throughout.
             first_fn, rest_fn = step_fn
             seen = iter(range(1 << 30))
 
-            def epoch_step(s, b, r):
-                return (first_fn if next(seen) == 0 else rest_fn)(s, b, r)
+            def epoch_step(s, b, r, _first=(ep_start == 0)):
+                return (first_fn if (_first and next(seen) == 0)
+                        else rest_fn)(s, b, r)
         else:
             epoch_step = step_fn
         try:
@@ -1421,7 +1432,7 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
                 state, tr = train_one_epoch(
                     state, train_loader, epoch_step, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                    stop=stop_guard,
+                    stop=stop_guard, start_step=ep_start,
                 )
         except NonFiniteLossError as e:
             # failure detection: exit cleanly; 'latest' (end of the last
@@ -1434,10 +1445,14 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
                            "run_dir": run_dir, "nan_aborted": True}
         if stop_guard.stopping:
             # preemption: persist FULL state (queue + EMA teacher + EmaTec
-            # momentum encoder); --resume redoes this epoch
-            ckpt.save("latest", full_state(state),
-                      {"epoch": epoch - 1, "preempted": True})
-            print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+            # momentum encoder) + the exact batch index, so --resume
+            # continues this epoch mid-flight instead of redoing it
+            meta = {"epoch": epoch - 1, "preempted": True}
+            if tr["steps"] < len(train_loader):
+                meta["resume_step"] = tr["steps"]
+            ckpt.save("latest", full_state(state), meta)
+            print(f"[preempt] checkpointed at epoch {epoch} step "
+                  f"{tr['steps']}/{len(train_loader)}; exiting")
             return state, {"best_acc": best_acc, "best_f1": best_f1,
                            "run_dir": run_dir, "preempted": True}
         val = evaluate(

@@ -168,6 +168,8 @@ def run_student(cfg: Config, synthetic: bool = False):
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
+        # exact mid-epoch resume point (see train/teacher.py)
+        resume_step = int(meta.get("resume_step", 0))
         # best thresholds survive the restart — else the first post-resume
         # epoch overwrites the real best_acc/best_f1 checkpoints
         m_acc, m_f1 = ckpt.meta("best_acc"), ckpt.meta("best_f1")
@@ -175,8 +177,12 @@ def run_student(cfg: Config, synthetic: bool = False):
             resumed_best_acc = float(m_acc.get("val_acc", -1.0))
         if m_f1 is not None:
             resumed_best_f1 = float(m_f1.get("val_f1", -1.0))
-        print(f"[resume] from epoch {start_epoch} "
-              f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
+        print(f"[resume] from epoch {start_epoch}"
+              + (f" step {resume_step}" if resume_step else "")
+              + f" (best_acc={resumed_best_acc:.2f}, "
+                f"best_f1={resumed_best_f1:.4f})")
+    else:
+        resume_step = 0
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_distill_train_step(distiller, train_aug, donate=cfg.run.donate,
@@ -251,12 +257,13 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
             ctx = trace(cfg.run.profile_dir)
         else:
             ctx = contextlib.nullcontext()
+        ep_start = resume_step if epoch == start_epoch else 0
         try:
             with ctx:
                 state, tr = train_one_epoch(
                     state, loader, step_fn, mesh, epoch, train_rng,
                     print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                    stop=stop_guard,
+                    stop=stop_guard, start_step=ep_start,
                 )
         except NonFiniteLossError as e:
             print(f"[nan-guard] {e}; stopping — resume from the last "
@@ -272,8 +279,12 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
             }
             if state.extra is not None:
                 save_state["extra"] = state.extra
-            ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
-            print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+            meta = {"epoch": epoch - 1, "preempted": True}
+            if tr["steps"] < len(loader):
+                meta["resume_step"] = tr["steps"]
+            ckpt.save("latest", save_state, meta)
+            print(f"[preempt] checkpointed at epoch {epoch} step "
+                  f"{tr['steps']}/{len(loader)}; exiting")
             return state, {"best_acc": best_acc, "best_f1": best_f1,
                            "run_dir": run_dir, "preempted": True}
         eval_params = state.params if simkd_eval else state.params["student"]

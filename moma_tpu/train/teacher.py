@@ -146,6 +146,11 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
         state = state.replace(**restored)
         meta = ckpt.meta("latest") or {}
         start_epoch = int(meta.get("epoch", 0)) + 1
+        # exact mid-epoch resume: a preempted partial epoch recorded how
+        # many of its batches ran; the loader's deterministic shuffle +
+        # per-index RNG folding make the continuation bit-identical to
+        # the uninterrupted epoch (tests/test_midepoch_resume.py)
+        resume_step = int(meta.get("resume_step", 0))
         # best thresholds survive the restart — else the first post-resume
         # epoch overwrites the real best_acc/best_f1 checkpoints
         m_acc, m_f1 = ckpt.meta("best_acc"), ckpt.meta("best_f1")
@@ -153,8 +158,12 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
             resumed_best_acc = float(m_acc.get("val_acc", -1.0))
         if m_f1 is not None:
             resumed_best_f1 = float(m_f1.get("val_f1", -1.0))
-        print(f"[resume] from epoch {start_epoch} "
-              f"(best_acc={resumed_best_acc:.2f}, best_f1={resumed_best_f1:.4f})")
+        print(f"[resume] from epoch {start_epoch}"
+              + (f" step {resume_step}" if resume_step else "")
+              + f" (best_acc={resumed_best_acc:.2f}, "
+                f"best_f1={resumed_best_f1:.4f})")
+    else:
+        resume_step = 0
 
     train_aug, eval_norm = augment_fns(cfg)
     step_fn = make_vanilla_train_step(augment_fn=train_aug, donate=cfg.run.donate,
@@ -177,12 +186,13 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                 ctx = trace(cfg.run.profile_dir)
             else:
                 ctx = contextlib.nullcontext()
+            ep_start = resume_step if epoch == start_epoch else 0
             try:
                 with ctx:
                     state, tr = train_one_epoch(
                         state, train_loader, step_fn, mesh, epoch, train_rng,
                         print_freq=cfg.run.print_freq, log_fn=stats.scalar,
-                        stop=stop_guard,
+                        stop=stop_guard, start_step=ep_start,
                     )
             except NonFiniteLossError as e:
                 # failure detection: exit cleanly; 'latest' (end of the
@@ -194,11 +204,17 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                 return state, {"best_acc": best_acc, "best_f1": best_f1,
                                "run_dir": run_dir, "nan_aborted": True}
             if stop_guard.stopping:
-                # preemption: persist full state; --resume redoes this epoch
+                # preemption: persist full state + the exact batch index,
+                # so --resume continues this epoch mid-flight instead of
+                # redoing it (bit-identical to the uninterrupted run)
                 save_state = {"params": state.params, "batch_stats": state.batch_stats,
                               "opt_state": state.opt_state, "step": state.step}
-                ckpt.save("latest", save_state, {"epoch": epoch - 1, "preempted": True})
-                print(f"[preempt] checkpointed at epoch {epoch} (partial); exiting")
+                meta = {"epoch": epoch - 1, "preempted": True}
+                if tr["steps"] < len(train_loader):
+                    meta["resume_step"] = tr["steps"]
+                ckpt.save("latest", save_state, meta)
+                print(f"[preempt] checkpointed at epoch {epoch} step "
+                      f"{tr['steps']}/{len(train_loader)}; exiting")
                 return state, {"best_acc": best_acc, "best_f1": best_f1,
                                "run_dir": run_dir, "preempted": True}
             val = evaluate(state.params, state.batch_stats, val_loader, eval_step, mesh, n_cls)
