@@ -1026,16 +1026,6 @@ def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def _shard_map_fn():
-    """shard_map across jax versions (jax.shard_map since 0.8)."""
-    try:
-        return jax.shard_map
-    except AttributeError:
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map
-
-
 def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
     """Wrap the per-device step body in shard_map over the 'data' axis.
 
@@ -1047,7 +1037,7 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
     """
     from jax.sharding import PartitionSpec as P
 
-    smap = _shard_map_fn()
+    from moma_tpu.core.mesh import shard_map_compat
 
     def body(state, batch, rng):
         if bn_mode == "sync":
@@ -1056,19 +1046,6 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
             with bn_axis_name(DATA_AXIS):
                 return step(state, batch, rng)
         return step(state, batch, rng)
-
-    # jax>=0.8 renamed the replication-check kwarg; probe once at build
-    # time (the old form re-ran a TypeError dance on every trace)
-    import inspect
-
-    try:
-        rep_kwarg = (
-            "check_vma"
-            if "check_vma" in inspect.signature(smap).parameters
-            else "check_rep"
-        )
-    except (TypeError, ValueError):  # builtins / odd wrappers
-        rep_kwarg = "check_vma"
 
     def run(state, batch, rng):
         batch_specs = {
@@ -1079,8 +1056,8 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
             )
             for k, v in batch.items()
         }
-        f = smap(body, mesh=mesh, in_specs=(P(), batch_specs, P()),
-                 out_specs=P(), **{rep_kwarg: False})
+        f = shard_map_compat(body, mesh, in_specs=(P(), batch_specs, P()),
+                             out_specs=P())
         return f(state, batch, rng)
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())
@@ -1190,6 +1167,9 @@ def run_moma(cfg: Config, synthetic: bool = False):
         teacher_apply_fn=_teacher_apply(cfg, teacher),
     )
     state = jax.device_put(state, replicated_sharding(mesh))
+    if cfg.run.pp_microbatch and cfg.run.teacher_parallel != "pipeline":
+        raise ValueError(
+            "--pp_microbatch only applies with --teacher_parallel pipeline")
     if cfg.run.model_parallel > 1:
         # shard the negative queue's rows over 'model' (queue.py:17-21):
         # the contrast matmul q @ queue^T computes (B, K/model)-sharded
@@ -1261,9 +1241,13 @@ def run_moma(cfg: Config, synthetic: bool = False):
                         f"teacher, got {type(teacher).__name__}"
                     )
                 n_micro = cfg.run.pp_microbatch or mp
+                # under grad accumulation the teacher forward runs per
+                # accumulation microbatch, so THAT is the batch the
+                # pipeline splits into pp microbatches
                 check_pp_teacher(
                     teacher, mesh, n_micro,
-                    batch_size=cfg.data.batch_size,
+                    batch_size=cfg.data.batch_size
+                    // max(1, cfg.run.grad_accum),
                     teacher_quant=getattr(cfg.moma, "teacher_quant", "none"),
                 )
                 state = state.replace(
@@ -1447,9 +1431,10 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
             # preemption: persist FULL state (queue + EMA teacher + EmaTec
             # momentum encoder) + the exact batch index, so --resume
             # continues this epoch mid-flight instead of redoing it
-            meta = {"epoch": epoch - 1, "preempted": True}
-            if tr["steps"] < len(train_loader):
-                meta["resume_step"] = tr["steps"]
+            # see train/teacher.py: resume_step == len(loader) resumes into
+            # 0 remaining batches + the epoch's eval, never a double apply
+            meta = {"epoch": epoch - 1, "preempted": True,
+                    "resume_step": tr["steps"]}
             ckpt.save("latest", full_state(state), meta)
             print(f"[preempt] checkpointed at epoch {epoch} step "
                   f"{tr['steps']}/{len(train_loader)}; exiting")
@@ -1463,6 +1448,9 @@ def _epoch_loop_moma(cfg, state, stats, ckpt, stop_guard, step_fn, eval_step,
             "train_loss": tr["loss"], "train_acc": tr["acc1"], "ips": tr["ips"],
             "val_loss": val["loss"], "val_acc": val["acc"], "val_f1": val["f1"],
         }
+        if ep_start:
+            # resumed epoch: train stats cover only the tail batches
+            row["train_partial_from"] = ep_start
         if not cfg.run.skip_test:
             test = evaluate(
                 state.params["student"], state.batch_stats["student"],

@@ -80,6 +80,16 @@ def run_student(cfg: Config, synthetic: bool = False):
             "(shard_map per-device execution); the comparison distillers "
             "run jitted global-batch BN"
         )
+    if (cfg.run.sequence_parallel or cfg.run.teacher_parallel != "tensor"
+            or cfg.run.pp_microbatch):
+        # the SP/PP machinery lives on the MoMA ViT KL-teacher; accepting
+        # these here would be a silent no-op
+        raise ValueError(
+            "--sequence_parallel / --teacher_parallel pipeline / "
+            "--pp_microbatch apply to the MoMA cross-arch ViT teacher "
+            "(--distill moma); the comparison distillers replicate their "
+            "fixed teacher"
+        )
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None
@@ -235,6 +245,7 @@ def run_student(cfg: Config, synthetic: bool = False):
             cfg, state, stats, ckpt, stop_guard, step_fn, eval_step, loader,
             val_loader, test_loader, train_rng, mesh, n_cls, start_epoch,
             best_acc, best_f1, t_start, run_dir, simkd_eval,
+            resume_step=resume_step,
         )
     finally:
         # restore prior handlers so later signals in this process are not
@@ -245,7 +256,7 @@ def run_student(cfg: Config, synthetic: bool = False):
 def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
                         eval_step, loader, val_loader, test_loader, train_rng,
                         mesh, n_cls, start_epoch, best_acc, best_f1, t_start,
-                        run_dir, simkd_eval):
+                        run_dir, simkd_eval, resume_step=0):
     import contextlib
 
     from moma_tpu.train.loop import NonFiniteLossError
@@ -279,9 +290,10 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
             }
             if state.extra is not None:
                 save_state["extra"] = state.extra
-            meta = {"epoch": epoch - 1, "preempted": True}
-            if tr["steps"] < len(loader):
-                meta["resume_step"] = tr["steps"]
+            # see train/teacher.py: resume_step == len(loader) resumes into
+            # 0 remaining batches + the epoch's eval, never a double apply
+            meta = {"epoch": epoch - 1, "preempted": True,
+                    "resume_step": tr["steps"]}
             ckpt.save("latest", save_state, meta)
             print(f"[preempt] checkpointed at epoch {epoch} step "
                   f"{tr['steps']}/{len(loader)}; exiting")
@@ -294,6 +306,9 @@ def _epoch_loop_student(cfg, state, stats, ckpt, stop_guard, step_fn,
             "train_loss": tr["loss"], "train_acc": tr["acc1"], "ips": tr["ips"],
             "val_loss": val["loss"], "val_acc": val["acc"], "val_f1": val["f1"],
         }
+        if ep_start:
+            # resumed epoch: train stats cover only the tail batches
+            row["train_partial_from"] = ep_start
         if not cfg.run.skip_test:
             test = evaluate(eval_params, eval_bs, test_loader, eval_step, mesh, n_cls)
             row.update(test_acc=test["acc"], test_f1=test["f1"])

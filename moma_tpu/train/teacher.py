@@ -84,6 +84,15 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
             "(shard_map per-device execution); teacher training runs "
             "jitted global-batch BN"
         )
+    if (cfg.run.sequence_parallel or cfg.run.teacher_parallel != "tensor"
+            or cfg.run.pp_microbatch):
+        # the SP/PP machinery lives on the MoMA ViT KL-teacher; accepting
+        # these here would be a silent no-op
+        raise ValueError(
+            "--sequence_parallel / --teacher_parallel pipeline / "
+            "--pp_microbatch apply to the MoMA cross-arch ViT teacher "
+            "(--distill moma); teacher training has no model parallelism"
+        )
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None
@@ -209,9 +218,12 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                 # redoing it (bit-identical to the uninterrupted run)
                 save_state = {"params": state.params, "batch_stats": state.batch_stats,
                               "opt_state": state.opt_state, "step": state.step}
-                meta = {"epoch": epoch - 1, "preempted": True}
-                if tr["steps"] < len(train_loader):
-                    meta["resume_step"] = tr["steps"]
+                # resume_step == len(loader) (stop landed on the epoch's
+                # last batch) resumes into 0 remaining batches and goes
+                # straight to the epoch's eval/bookkeeping — the epoch's
+                # updates are never applied twice
+                meta = {"epoch": epoch - 1, "preempted": True,
+                        "resume_step": tr["steps"]}
                 ckpt.save("latest", save_state, meta)
                 print(f"[preempt] checkpointed at epoch {epoch} step "
                       f"{tr['steps']}/{len(train_loader)}; exiting")
@@ -223,6 +235,11 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                 "ips": tr["ips"], "val_loss": val["loss"], "val_acc": val["acc"],
                 "val_f1": val["f1"],
             }
+            if ep_start:
+                # resumed epoch: train stats cover only batches
+                # [ep_start, n) — flag so the row isn't read as a full
+                # epoch average
+                row["train_partial_from"] = ep_start
             if not cfg.run.skip_test:
                 test = evaluate(
                     state.params, state.batch_stats, test_loader, eval_step, mesh, n_cls

@@ -119,6 +119,72 @@ def test_split_epoch_bit_identical_to_straight():
     assert int(straight.step) == int(done.step)
 
 
+def test_resume_at_epoch_boundary_applies_nothing():
+    """A stop that lands exactly on the epoch's last batch records
+    resume_step == len(loader); resuming runs ZERO batches (the epoch's
+    updates are never applied twice) and reports full step count."""
+    import jax.numpy as jnp
+
+    from moma_tpu.core.mesh import create_mesh, replicated_sharding
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.augment import cifar_train_augment
+    from moma_tpu.data.pipeline import Loader, synthetic_dataset
+    from moma_tpu.models import create_model
+    from moma_tpu.train.loop import train_one_epoch
+    from moma_tpu.train.state import TrainState, make_sgd
+    from moma_tpu.train.steps import make_vanilla_train_step
+
+    mesh = create_mesh()
+    model = create_model("resnet8", num_classes=10)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    tx = make_sgd(lr_schedule(0.05, 1, 8), 0.9, 5e-4)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    ds = synthetic_dataset(32, 32, 10, seed=0)
+    loader = Loader(ds, 8, train=True, seed=0)
+    step_fn = make_vanilla_train_step(augment_fn=cifar_train_augment,
+                                      donate=False)
+    state2, m = train_one_epoch(state, loader, step_fn, mesh, 1,
+                                jax.random.PRNGKey(1), print_freq=100,
+                                start_step=len(loader))
+    assert m["steps"] == len(loader)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state.step)
+
+
+def test_sp_pp_flags_rejected_outside_moma(tmp_path):
+    """--sequence_parallel / --teacher_parallel pipeline / --pp_microbatch
+    must error on runners that would silently ignore them."""
+    from moma_tpu.train.teacher import run_teacher
+
+    cfg = _teacher_cfg(tmp_path, epochs=1)
+    cfg.run.sequence_parallel = True
+    with pytest.raises(ValueError, match="distill moma"):
+        run_teacher(cfg, synthetic=True)
+
+    cfg.run.sequence_parallel = False
+    cfg.run.teacher_parallel = "pipeline"
+    with pytest.raises(ValueError, match="distill moma"):
+        run_teacher(cfg, synthetic=True)
+
+    from moma_tpu.core.config import DistillConfig, ModelConfig
+    from moma_tpu.train.student import run_student
+
+    cfg2 = _teacher_cfg(tmp_path / "s", epochs=1)
+    cfg2.model_t = ModelConfig(name="resnet32", n_cls=10)
+    cfg2.distill = DistillConfig(distill="kd", cls=1.0, div=1.0, beta=0.0)
+    cfg2.run.pp_microbatch = 2
+    with pytest.raises(ValueError, match="distill moma"):
+        run_student(cfg2, synthetic=True)
+
+
 def test_runner_midepoch_resume_matches_straight(tmp_path):
     """End-to-end through run_teacher: preempt mid-epoch-1, resume, and
     the final 2-epoch result equals a never-preempted 2-epoch run —
@@ -147,8 +213,9 @@ def test_runner_midepoch_resume_matches_straight(tmp_path):
     meta = json.load(open(
         os.path.join(res_b["run_dir"], "ckpt", "latest.meta.json")))
     steps_done = int(state_b.step)
-    if meta.get("resume_step"):
-        assert meta["resume_step"] == steps_done % 8  # 64/8 = 8 batches/epoch
+    # resume_step counts the stopped epoch's completed batches (8/epoch);
+    # a boundary stop records resume_step == 8, never a full-epoch redo
+    assert meta["resume_step"] % 8 == steps_done % 8
 
     # resume and finish
     cfg_b.run.resume = True
