@@ -47,10 +47,23 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--out", type=str, default="./test_stat.json")
     p.add_argument("--synthetic", action="store_true")
+    # reference test.py flag bridge (:146-220): --models_dir is the root
+    # holding the run dirs, --csv_dir the CSV of run names to evaluate
+    # (joined against models_dir), --n_cls an explicit class count.
+    p.add_argument("--models_dir", type=str, default=None,
+                   help="reference-compat: root dir of runs; combine with "
+                        "--csv_dir (test.py --models_dir)")
+    p.add_argument("--csv_dir", type=str, default=None,
+                   help="reference-compat alias for --csv; names resolve "
+                        "under --models_dir when given (test.py --csv_dir)")
+    p.add_argument("--n_cls", type=int, default=None,
+                   help="override the dataset's class count (test.py --n_cls)")
     a = p.parse_args(argv)
+    if a.csv_dir and not a.csv:
+        a.csv = a.csv_dir
 
     mesh = create_mesh()
-    n_cls = DATASET_NUM_CLASSES.get(a.dataset, 100)
+    n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)
     if a.synthetic:
         test_ds = synthetic_dataset(max(a.batch_size, 128), a.image_size, n_cls, 1)
         norm = aug.cifar_eval_normalize
@@ -81,19 +94,43 @@ def main(argv=None):
             rows = list(_csv.DictReader(f))
         key = "name" if rows and "name" in rows[0] else list(rows[0].keys())[0]
         run_dirs = [r[key] for r in rows]
+        if a.models_dir:
+            # reference semantics: CSV holds run NAMES under models_dir
+            run_dirs = [os.path.join(a.models_dir, d) for d in run_dirs]
+    elif a.models_dir:
+        run_dirs = sorted(
+            d for d in glob.glob(os.path.join(a.models_dir, "*"))
+            if os.path.isdir(d)
+        )
     elif a.runs:
         run_dirs = sorted(glob.glob(a.runs))
     else:
-        print("need --runs or --csv", file=sys.stderr)
+        print("need --runs, --csv, or --models_dir", file=sys.stderr)
         return {}
     if not run_dirs:
-        print(f"no runs match {a.runs}", file=sys.stderr)
+        print(f"no runs match {a.runs or a.models_dir}", file=sys.stderr)
         return {}
     for run_dir in run_dirs:
         ckpt_path = os.path.join(run_dir, "ckpt", a.ckpt_tag)
         if not os.path.isdir(ckpt_path):
-            print(f"skip {run_dir}: no {a.ckpt_tag} checkpoint")
-            continue
+            # our runners nest an auto-named run dir under --save_dir
+            # (<save_dir>/<method>_<dataset>_..._trialN/ckpt); descend one
+            # level so --models_dir over a root of save_dirs still works
+            nested = sorted(
+                d for d in glob.glob(os.path.join(run_dir, "*", "ckpt",
+                                                  a.ckpt_tag))
+                if os.path.isdir(d)
+            )
+            if len(nested) == 1:
+                ckpt_path = nested[0]
+            elif len(nested) > 1:
+                print(f"skip {run_dir}: {len(nested)} nested runs have a "
+                      f"{a.ckpt_tag} checkpoint — point --runs at them "
+                      f"directly")
+                continue
+            else:
+                print(f"skip {run_dir}: no {a.ckpt_tag} checkpoint")
+                continue
         v = load_pretrained_params(variables, ckpt_path, strict=True)
         v = jax.device_put(v, replicated_sharding(mesh))
         stats = evaluate(
