@@ -95,8 +95,19 @@ def main(argv=None):
         key = "name" if rows and "name" in rows[0] else list(rows[0].keys())[0]
         run_dirs = [r[key] for r in rows]
         if a.models_dir:
-            # reference semantics: CSV holds run NAMES under models_dir
-            run_dirs = [os.path.join(a.models_dir, d) for d in run_dirs]
+            # reference semantics: CSV holds run NAMES under models_dir;
+            # test.py:206 actually globs one wildcard level in between
+            # ({models_dir}/*/{name}), so fall back to that pattern when
+            # the direct join does not exist
+            resolved = []
+            for d in run_dirs:
+                direct = os.path.join(a.models_dir, d)
+                if not os.path.isdir(direct):
+                    hits = sorted(glob.glob(os.path.join(a.models_dir, "*", d)))
+                    if hits:
+                        direct = hits[0]
+                resolved.append(direct)
+            run_dirs = resolved
     elif a.models_dir:
         run_dirs = sorted(
             d for d in glob.glob(os.path.join(a.models_dir, "*"))

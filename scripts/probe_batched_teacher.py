@@ -14,6 +14,14 @@ Run on TPU (machine to itself — CLAUDE.md session-5 rule):
 
 Timing is overlapped-chained with a final value fetch (the only
 trustworthy method on the axon relay).
+
+RESULT (measured, v5e BS128@512, session 12): REFUTED — 0.489x (vmapped
+166.5 ms vs sequential 81.4 ms).  jax.vmap lowers the stacked-weight
+convs as feature_group_count=2 grouped convolutions, and XLA:TPU's
+grouped-conv path costs ~2x the two separate dense convs — far more
+than the lane-padding it merges away.  rel-L2 vs sequential ~1.5e-2
+(bf16-scale: grouped lowering changes contraction order).  Kept as the
+record of the negative result; do not integrate.
 """
 
 from __future__ import annotations

@@ -91,6 +91,26 @@ def test_models_dir_descends_into_nested_run_dirs(fake_runs, tmp_path):
     assert sorted(results) == sorted(names)
 
 
+def test_csv_name_resolves_through_wildcard_level(fake_runs, tmp_path):
+    """Reference test.py:206 globs {models_dir}/*/{name} — CSV names one
+    wildcard level below models_dir must still resolve."""
+    root, names = fake_runs
+    wild_root = tmp_path / "wild_root"
+    dst = wild_root / "groupX" / names[0]
+    os.makedirs(os.path.dirname(dst))
+    os.symlink(os.path.join(root, names[0]), dst)
+    csv_path = tmp_path / "wild.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["name"])
+        w.writeheader()
+        w.writerow({"name": names[0]})
+    out = str(tmp_path / "stat.json")
+    results = test_eval.main(
+        ["--models_dir", str(wild_root), "--csv_dir", str(csv_path)]
+        + _common(out))
+    assert list(results) == [names[0]]
+
+
 def test_missing_ckpt_tag_is_skipped(fake_runs, tmp_path):
     root, names = fake_runs
     out = str(tmp_path / "stat.json")
