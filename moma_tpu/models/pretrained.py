@@ -13,11 +13,86 @@ popping at helper/util.py:156-159) for mismatched label spaces.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+# The reference resolves these --std_pre/--tec_pre tags through a table of
+# absolute paths hardcoded to its author's machines (model_def.py:15-49 for
+# the effiB0 tags, :66-76 for ssl_ciga, :8 for ImageNet meaning library
+# weights).  The portable equivalent: a user-supplied registry.
+REFERENCE_PRESET_TAGS = frozenset({
+    "tma_class", "PANDA", "gastric_wsi", "gastric_wsi_DDP",
+    "gastric_cancer_tma_sv0", "kather19", "kather19_nonorm",
+    "crc_tp_folder1_None", "crc_tp_folder1_Img", "ssl_ciga", "ImageNet",
+})
+_SCRATCH_TAGS = frozenset({"", "NULL", "None", "none", "scratch"})
+_TORCH_SUFFIXES = (".pth", ".pt", ".bin", ".ckpt")
+
+
+class PretrainResolutionError(KeyError):
+    pass
+
+
+def resolve_pretrain(spec: Optional[str]) -> Optional[str]:
+    """Resolve a --pretrain/--std_pre/--tec_pre value to a checkpoint path.
+
+    Accepts: None / 'NULL' (train from scratch), an existing path (used
+    as-is), or a named preset tag.  Tags resolve through, in order:
+      1. $MOMA_PRETRAIN_REGISTRY — a JSON file mapping tag -> path
+         (relative paths are taken relative to the registry file);
+      2. $MOMA_PRETRAIN_DIR (default ./pretrained): {dir}/{tag} as an
+         orbax checkpoint dir, or {dir}/{tag}.pth/.pt/.bin/.ckpt.
+    Unresolvable tags raise instead of being silently ignored — the
+    reference's behavior for its known tags is to load a checkpoint from a
+    hardcoded absolute path (model_def.py:15-49), so skipping would train a
+    different model than asked for.
+    """
+    if spec is None:
+        return None
+    spec = str(spec)
+    if spec in _SCRATCH_TAGS:
+        return None
+    if os.path.exists(spec):
+        return spec
+
+    tried = []
+    reg_path = os.environ.get("MOMA_PRETRAIN_REGISTRY")
+    if reg_path and os.path.exists(reg_path):
+        with open(reg_path) as f:
+            table = json.load(f)
+        if spec in table:
+            p = table[spec]
+            if not os.path.isabs(p):
+                p = os.path.join(os.path.dirname(os.path.abspath(reg_path)), p)
+            if os.path.exists(p):
+                return p
+            tried.append(f"registry entry {p} (missing)")
+        else:
+            tried.append(f"registry {reg_path} (no '{spec}' key)")
+    pre_dir = os.environ.get("MOMA_PRETRAIN_DIR", "./pretrained")
+    for cand in [os.path.join(pre_dir, spec)] + [
+        os.path.join(pre_dir, spec + sfx) for sfx in _TORCH_SUFFIXES
+    ]:
+        if os.path.exists(cand):
+            return cand
+        tried.append(cand)
+
+    known = (
+        "a tag the reference maps to a machine-specific absolute path "
+        "(model_def.py:15-49)"
+        if spec in REFERENCE_PRESET_TAGS
+        else "not a reference preset tag"
+    )
+    raise PretrainResolutionError(
+        f"cannot resolve pretrain '{spec}' ({known}): not an existing path, "
+        f"and no checkpoint found at: {', '.join(tried)}. Provide the file "
+        f"via $MOMA_PRETRAIN_REGISTRY (JSON tag->path) or place it under "
+        f"$MOMA_PRETRAIN_DIR as {spec}/ (orbax) or {spec}.pth (torch)."
+    )
 
 
 def _strip_classifier(params: Dict) -> Dict:
@@ -46,12 +121,17 @@ def _merge(dst, src, path=""):
 
 def load_pretrained_params(variables: Dict, path: str, strict: bool = True) -> Dict:
     """Returns a new `variables` dict with params/batch_stats replaced from
-    the checkpoint at `path`."""
-    path = str(path)
-    if path.endswith((".pth", ".pt", ".bin")):
+    the checkpoint at `path` (a filesystem path or a preset tag — see
+    resolve_pretrain)."""
+    path = resolve_pretrain(str(path))
+    if path is None:
+        return variables
+    if path.endswith(_TORCH_SUFFIXES):
         from moma_tpu.models.torch_import import convert_torch_checkpoint
 
-        loaded = convert_torch_checkpoint(path, variables)
+        # cross-task transfer: drop the classifier at conversion time (the
+        # label spaces differ, so its shapes cannot line up).
+        loaded = convert_torch_checkpoint(path, variables, drop_classifier=not strict)
     else:
         loaded = _load_orbax(path, variables)
 

@@ -132,9 +132,20 @@ def _check(got, want, torch_mod, flax_mod):
         )
 
 
-def convert_state_dict(state_dict: Dict[str, Any], variables: Dict) -> Dict:
+def convert_state_dict(
+    state_dict: Dict[str, Any], variables: Dict, drop_classifier: bool = False
+) -> Dict:
     """Returns {'params':…, 'batch_stats':…} shaped like `variables` with
-    weights from the torch state dict."""
+    weights from the torch state dict.
+
+    drop_classifier=True is the cross-task transfer mode (the reference's
+    strict=False load, helper/util.py:156-159 — which pops the hardcoded
+    effiB0 'classifier_.1.*' keys; generalized here to every backbone):
+    the flax 'classifier' module is excluded from the linear stream (it
+    keeps its fresh init) and the torch side tolerates either a trailing
+    classifier of any label width or an encoder-only dump with extra
+    projection-head linears (e.g. the ssl_ciga checkpoint,
+    model_def.py:66-76)."""
     def _copy(tree):
         # order-preserving deep copy (tree_map would sort dict keys and
         # destroy the call-order information _flax_modules relies on)
@@ -157,6 +168,17 @@ def convert_state_dict(state_dict: Dict[str, Any], variables: Dict) -> Dict:
     for kind in ("conv", "bn", "linear", "ln"):
         fs = streams_f.get(kind, [])
         ts = streams_t.get(kind, [])
+        if drop_classifier and kind == "linear":
+            fs = [m for m in fs if m["path"][0] != "classifier"]
+            # the classifier is the LAST linear in call order in every
+            # reference backbone; an encoder-only dump may instead carry
+            # extra trailing projection-head linears — keep the prefix.
+            if len(ts) < len(fs):
+                raise ValueError(
+                    "linear stream too short for the backbone even after "
+                    f"dropping the classifier: flax {len(fs)} vs torch {len(ts)}"
+                )
+            ts = ts[: len(fs)]
         if len(fs) != len(ts):
             raise ValueError(
                 f"{kind} stream length mismatch: flax {len(fs)} vs torch "
@@ -177,9 +199,13 @@ def _set(tree: Dict, path: Tuple[str, ...], value):
     node[path[-1]] = value
 
 
-def convert_torch_checkpoint(path: str, variables: Dict) -> Dict:
+def convert_torch_checkpoint(
+    path: str, variables: Dict, drop_classifier: bool = False
+) -> Dict:
     """Load a .pth file (optionally a {'model': state_dict} training
-    checkpoint, the reference's save format train_teacher.py:306-332)."""
+    checkpoint, the reference's save format train_teacher.py:306-332, or a
+    {'state_dict': …} wrapper like the ssl_ciga ozanciga checkpoint,
+    model_def.py:66-76)."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -188,4 +214,4 @@ def convert_torch_checkpoint(path: str, variables: Dict) -> Dict:
     elif isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     state_dict = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in obj.items()}
-    return convert_state_dict(state_dict, variables)
+    return convert_state_dict(state_dict, variables, drop_classifier=drop_classifier)

@@ -1092,9 +1092,11 @@ def run_moma(cfg: Config, synthetic: bool = False):
     vars_t = teacher.init(init_t, sample, train=False)
     for which, mc, v in (("student", cfg.model_s, "vars_s"), ("teacher", cfg.model_t, "vars_t")):
         pre = mc.pretrain
-        if pre and os.path.exists(str(pre)):
+        if pre:
             from moma_tpu.models.pretrained import load_pretrained_params
 
+            # resolves paths AND preset tags (reference --std_pre/--tec_pre
+            # names, model_def.py:15-49); raises on an unresolvable tag.
             if which == "student":
                 vars_s = load_pretrained_params(vars_s, pre, strict=mc.strict)
             else:

@@ -44,9 +44,11 @@ def load_teacher_variables(cfg: Config, model_t, sample, rng):
     """Init + optionally restore teacher weights from --path_t / presets."""
     variables = model_t.init(rng, sample, train=False)
     pre = cfg.model_t.pretrain
-    if pre and os.path.exists(str(pre)):
+    if pre:
         from moma_tpu.models.pretrained import load_pretrained_params
 
+        # resolves paths AND preset tags; raises on an unresolvable tag
+        # instead of silently training an un-pretrained teacher.
         variables = load_pretrained_params(
             variables, pre, strict=cfg.model_t.strict
         )
@@ -119,7 +121,7 @@ def run_student(cfg: Config, synthetic: bool = False):
         jnp.bfloat16 if dtype else jnp.float32,
     )
     vars_s = student.init(init_s, sample, train=False)
-    if cfg.model_s.pretrain and os.path.exists(str(cfg.model_s.pretrain)):
+    if cfg.model_s.pretrain:
         from moma_tpu.models.pretrained import load_pretrained_params
 
         vars_s = load_pretrained_params(
