@@ -58,9 +58,16 @@ def main(argv=None):
                         "under --models_dir when given (test.py --csv_dir)")
     p.add_argument("--n_cls", type=int, default=None,
                    help="override the dataset's class count (test.py --n_cls)")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="reference-compat (test.py:62 'where to save'): "
+                        "directory for the stat JSON; maps to "
+                        "{model_path}/test_stat.json unless --out is given")
     a = p.parse_args(argv)
     if a.csv_dir and not a.csv:
         a.csv = a.csv_dir
+    if a.model_path and a.out == "./test_stat.json":
+        os.makedirs(a.model_path, exist_ok=True)
+        a.out = os.path.join(a.model_path, "test_stat.json")
 
     mesh = create_mesh()
     n_cls = a.n_cls or DATASET_NUM_CLASSES.get(a.dataset, 100)

@@ -76,6 +76,7 @@ _REGISTRY: Dict[str, tuple] = {
     "vit_tiny_patch16_384": ("moma_tpu.models.vit", "vit_tiny_patch16_384"),
     "vit_base_patch16_384": ("moma_tpu.models.vit", "vit_base_patch16_384"),
     "deit_base_patch16_384": ("moma_tpu.models.vit", "deit_base_patch16_384"),
+    "deit_tiny_patch16_384": ("moma_tpu.models.vit", "deit_tiny_patch16_384"),
     # timm-flavored names (model_def.py:92-94,107-109) — in the reference
     # these load timm's pretrained ViT; architecturally identical to the
     # vit_* factories here (weights come via torch_import/vit_npz instead)

@@ -119,3 +119,6 @@ deit_base_patch16_224 = _factory(768, 12, 12)
 vit_tiny_patch16_384 = _factory(192, 12, 3)
 vit_base_patch16_384 = _factory(768, 12, 12)
 deit_base_patch16_384 = _factory(768, 12, 12)
+# commented out in the reference (model_def.py:94-96) but trivially
+# supported here — same tiny geometry at 384 input.
+deit_tiny_patch16_384 = _factory(192, 12, 3)

@@ -118,3 +118,17 @@ def test_missing_ckpt_tag_is_skipped(fake_runs, tmp_path):
         ["--runs", os.path.join(root, "teacher_*"), "--ckpt_tag", "best_f1"]
         + _common(out))
     assert results == {}
+
+
+def test_model_path_save_alias(fake_runs, tmp_path):
+    """Reference surface (test.py:62 --model_path 'where to save'): the
+    stat JSON lands under it when --out is not given."""
+    root, names = fake_runs
+    save_dir = str(tmp_path / "save_here")
+    args = ["--runs", os.path.join(root, "teacher_a"),
+            "--model", "resnet8", "--synthetic", "--batch_size", "32",
+            "--image_size", "32", "--n_cls", "4", "--model_path", save_dir]
+    results = test_eval.main(args)
+    assert list(results) == ["teacher_a"]
+    written = json.load(open(os.path.join(save_dir, "test_stat.json")))
+    assert list(written) == ["teacher_a"]
