@@ -26,6 +26,7 @@ import copy
 import json
 import os
 import sys
+import time
 import types
 
 import numpy as np
@@ -62,7 +63,7 @@ def make_task(n: int, seed: int, noise: float = 0.75):
 
 
 def run_reference(train_x, train_y, val_x, val_y, epochs: int,
-                  perturb: float = 0.0):
+                  perturb: float = 0.0, step_times=None):
     sys.path.insert(0, REF)
     sys.modules.setdefault(
         "tensorboard_logger", types.ModuleType("tensorboard_logger")
@@ -140,6 +141,7 @@ def run_reference(train_x, train_y, val_x, val_y, epochs: int,
         cmo.train()
         model_t.eval()
         for i in range(n_steps):
+            t0 = time.perf_counter()
             sl = slice(i * B, (i + 1) * B)
             images = torch.from_numpy(
                 np.transpose(train_x[sl], (0, 3, 1, 2))
@@ -170,6 +172,8 @@ def run_reference(train_x, train_y, val_x, val_y, epochs: int,
                 (float(loss_cls.detach()), float(loss_div.detach()),
                  float(loss_kd.detach()))
             )
+            if step_times is not None:
+                step_times.append(time.perf_counter() - t0)
 
     # validate_vanilla-style eval
     model_s.eval()
@@ -185,7 +189,8 @@ def run_reference(train_x, train_y, val_x, val_y, epochs: int,
     return snap, curve, acc
 
 
-def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int):
+def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int,
+             step_times=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -252,6 +257,7 @@ def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int):
     curve = []
     for epoch in range(epochs):
         for i in range(n_steps):
+            t0 = time.perf_counter()
             sl = slice(i * B, (i + 1) * B)
             batch = {
                 "image": jax.device_put(train_x[sl], data_sharding(mesh)),
@@ -264,6 +270,8 @@ def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int):
             curve.append((float(metrics["loss_cls"]),
                           float(metrics["loss_div"]),
                           float(metrics["loss_kd"])))
+            if step_times is not None:
+                step_times.append(time.perf_counter() - t0)
 
     @jax.jit
     def eval_logits(params, bs, images):
