@@ -152,7 +152,9 @@ def main(argv=None):
         v = load_pretrained_params(variables, ckpt_path, strict=True)
         v = jax.device_put(v, replicated_sharding(mesh))
         stats = evaluate(
-            v["params"], v["batch_stats"], loader, eval_step, mesh, n_cls
+            # .get: BN-free backbones (ViT family) have no batch_stats
+            v["params"], v.get("batch_stats", {}), loader, eval_step,
+            mesh, n_cls,
         )
         name = os.path.basename(run_dir.rstrip("/"))
         results[name] = {

@@ -150,7 +150,14 @@ class RunConfig:
     save_dir: str = "./save"
     trial: str = "0"
     skip_test: bool = False
-    skip_validation: bool = False
+    # pre-flight teacher evaluation on the test split before training
+    # (reference train_teacher.py:230-241 / train_student_moma.py:466-474).
+    # The reference flag is `--skip_validation` with action='store_false'
+    # (default True) guarded by `if not opt.skip_validation:` — i.e.
+    # DESPITE its name, passing the flag RUNS the validation and the
+    # default skips it.  We reproduce the behavior (default off; the
+    # reference's command lines behave identically) under an honest name.
+    preflight_eval: bool = False
     resume: bool = False
     half_precision: bool = True  # bf16 compute policy (TPU-native AMP)
     # BN execution mode (train/moma.py make_moma_train_step): 'global' =
@@ -177,7 +184,6 @@ class RunConfig:
     # GPipe microbatch count T for teacher_parallel='pipeline'
     # (0 = one per stage); per-device batch must divide by T.
     pp_microbatch: int = 0
-    log_every_n_steps: int = 50
     donate: bool = True
     # gradient accumulation: split each batch into M equal microbatches
     # scanned sequentially with ONE optimizer update — the activation-
@@ -274,12 +280,24 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--dataset", type=str, default="cifar100")
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--aug_train", type=str, default="RA", choices=["NULL", "RA"])
+    p.add_argument("--ra_config", type=str, default="rand-n2-m10-mstd0.5",
+                   help="RandAugment config string (the reference's "
+                        "rand_augment_transform grammar, RandAugment.py:"
+                        "405-448: m/n/mstd/w sections; the reference "
+                        "hardcodes rand-n2-m10-mstd0.5)")
     p.add_argument("--crop", type=float, default=0.2)
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--image_resize", action="store_true")
     p.add_argument("--trial", type=str, default="0")
     p.add_argument("--save_dir", type=str, default="./save")
     p.add_argument("--skip_test", action="store_true")
+    p.add_argument("--skip_validation", action="store_true",
+                   help="run a pre-flight eval of the loaded model/teacher "
+                        "on the test split before training.  NOTE the "
+                        "reference's flag is store_false-inverted: passing "
+                        "it RUNS the validation (train_teacher.py:88,230) — "
+                        "same here, so reference command lines behave "
+                        "identically")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--bn", type=str, default=None,
                    choices=["global", "local", "sync"],
@@ -327,7 +345,6 @@ def _add_common_flags(p: argparse.ArgumentParser):
         ("--gpu_id", "CUDA device list (N/A: TPU mesh)"),
         ("--dali", "DALI pipeline choice (replaced by the native loader)"),
         ("--deterministic", "cudnn determinism (JAX is deterministic)"),
-        ("--skip_validation", "pre-flight teacher eval toggle"),
         ("--weight", "dead flag in the reference (never read)"),
         ("--dist-url", "NCCL rendezvous (N/A: single-process mesh)"),
         ("--dist-backend", "NCCL backend (N/A)"),
@@ -361,6 +378,7 @@ def _cfg_from_common(a) -> Config:
         image_resize=a.image_resize,
         crop=a.crop,
         aug_train=a.aug_train,
+        ra_config=a.ra_config,
     )
     cfg.optim = OptimConfig(
         learning_rate=a.learning_rate,
@@ -380,6 +398,7 @@ def _cfg_from_common(a) -> Config:
         save_dir=a.save_dir,
         trial=a.trial,
         skip_test=a.skip_test,
+        preflight_eval=a.skip_validation,
         half_precision=not a.fp32,
         bn=_resolve_bn(a),
         model_parallel=a.model_parallel,

@@ -22,7 +22,7 @@ from moma_tpu.data.augment import (
     random_hflip,
     random_resized_crop,
 )
-from moma_tpu.data.randaugment import rand_augment
+from moma_tpu.data.randaugment import parse_ra_config, rand_augment
 
 RA_FILL = tuple(min(255, round(255 * m)) for m in IMAGENET_MEAN)
 
@@ -32,6 +32,10 @@ def make_histo_augment(cfg):
     use_rrc = bool(cfg.data.image_resize)
     crop_lo = cfg.data.crop
     use_ra = cfg.data.aug_train == "RA"
+    # the reference hardcodes 'rand-n2-m10-mstd0.5' in its transform stacks
+    # (dataset/histo_dataset.py:227-228); --ra_config exposes the full
+    # rand_augment_transform grammar (RandAugment.py:405-448) incl. 'w0'
+    n_layers, magnitude, mstd, weights = parse_ra_config(cfg.data.ra_config)
 
     def augment(images, rng):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -41,8 +45,9 @@ def make_histo_augment(cfg):
         if use_ra:
             # the hflip rides rand_augment (same k2 bernoulli draw as
             # random_hflip; fused into the Pallas layer-1 kernel on TPU)
-            x = rand_augment(x, k3, num_layers=2, magnitude=10.0,
-                             magnitude_std=0.5, fill=RA_FILL, hflip_rng=k2)
+            x = rand_augment(x, k3, num_layers=n_layers, magnitude=magnitude,
+                             magnitude_std=mstd, fill=RA_FILL, hflip_rng=k2,
+                             choice_weights=weights)
         else:
             x = random_hflip(x, k2)
         return normalize(x / 255.0, IMAGENET_MEAN, IMAGENET_STD)

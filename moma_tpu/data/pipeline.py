@@ -60,6 +60,10 @@ class Loader:
     entry marks valid rows.
     Extra per-index arrays (e.g. CRD contrast indices) can be attached via
     `extras` — dict name -> (n, ...) array gathered with the batch.
+    `num_workers` (the reference's DataLoader worker count) sizes the
+    native prefetcher's gather thread pool for file-backed datasets;
+    in-memory datasets need no workers (batch assembly is one numpy
+    fancy-index).
     """
 
     def __init__(
@@ -69,6 +73,7 @@ class Loader:
         train: bool,
         seed: int = 0,
         extras: Optional[Dict[str, np.ndarray]] = None,
+        num_workers: int = 4,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -77,6 +82,7 @@ class Loader:
         self.epoch = 0
         self.start_batch = 0
         self.extras = extras or {}
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -113,8 +119,10 @@ class Loader:
                 )
                 # threads beyond the core count only add contention
                 # (measured: 8 threads on a 1-core host halves gather rate)
-                self._batcher.start(self.batch_size, depth=4,
-                                    threads=min(8, os.cpu_count() or 1))
+                self._batcher.start(
+                    self.batch_size, depth=4,
+                    threads=max(1, min(self.num_workers,
+                                       os.cpu_count() or 1)))
             except Exception:
                 self._batcher = False
         return self._batcher or None

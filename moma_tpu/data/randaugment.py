@@ -37,6 +37,82 @@ import jax.numpy as jnp
 
 N_OPS = 15
 MAX_LEVEL = 10.0
+# index-aligned with the dispatch below and the reference's
+# _RAND_TRANSFORMS (dataset/RandAugment.py:312-329)
+OP_NAMES = (
+    "AutoContrast", "Equalize", "Invert", "Rotate", "PosterizeTpu",
+    "Solarize", "SolarizeAdd", "Color", "Contrast", "Brightness",
+    "Sharpness", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
+)
+# the reference's experimental op-choice weight set 0
+# (dataset/RandAugment.py:346-363; selected by the 'w0' config section)
+_RAND_CHOICE_WEIGHTS_0 = {
+    "Rotate": 0.3, "ShearX": 0.2, "ShearY": 0.2,
+    "TranslateXRel": 0.1, "TranslateYRel": 0.1,
+    "Color": 0.025, "Sharpness": 0.025, "AutoContrast": 0.025,
+    "Solarize": 0.005, "SolarizeAdd": 0.005, "Contrast": 0.005,
+    "Brightness": 0.005, "Equalize": 0.005,
+    "PosterizeTpu": 0.0, "Invert": 0.0,
+}
+
+
+def select_rand_weights(weight_idx: int = 0):
+    """Normalized op-choice probabilities aligned to OP_NAMES — the
+    reference's _select_rand_weights (RandAugment.py:365-371; only set 0
+    exists there too)."""
+    if weight_idx != 0:
+        raise ValueError(f"only weight set 0 exists (got w{weight_idx})")
+    w = [float(_RAND_CHOICE_WEIGHTS_0[k]) for k in OP_NAMES]
+    s = sum(w)
+    return tuple(v / s for v in w)
+
+
+def parse_ra_config(config_str: str):
+    """'rand-n2-m10-mstd0.5[-w0]' -> (num_layers, magnitude,
+    magnitude_std, choice_weights|None) — the reference's config-string
+    grammar (rand_augment_transform, dataset/RandAugment.py:405-448):
+    dash-separated sections, first must be 'rand'; keys m (int magnitude),
+    n (int layers), mstd (float), w (weight-set index); unknown keys
+    rejected; keyless sections skipped (the reference `continue`s them)."""
+    import re
+
+    magnitude = MAX_LEVEL
+    num_layers = 2
+    # when the string omits mstd the reference adds NO magnitude noise
+    # (AutoAugmentOp: hparams.get('magnitude_std', 0), RandAugment.py:299)
+    magnitude_std = 0.0
+    weights = None
+    parts = config_str.split("-")
+    if not parts or parts[0] != "rand":
+        raise ValueError(
+            f"RandAugment config must start with 'rand': {config_str!r}")
+    for c in parts[1:]:
+        cs = re.split(r"(\d.*)", c)
+        if len(cs) < 2:
+            continue
+        key, val = cs[:2]
+        if key == "mstd":
+            magnitude_std = float(val)
+        elif key == "m":
+            magnitude = float(int(val))
+        elif key == "n":
+            num_layers = int(val)
+        elif key == "w":
+            weights = select_rand_weights(int(val))
+        else:
+            raise ValueError(
+                f"unknown RandAugment config section {c!r} in {config_str!r}")
+    return num_layers, magnitude, magnitude_std, weights
+
+
+def _draw_ops(k_op, B: int, choice_weights=None):
+    """Per-image op indices: uniform, or the 'w' weighted choice
+    (reference np.random.choice(..., p=choice_weights),
+    RandAugment.py:396-398)."""
+    if choice_weights is None:
+        return jax.random.randint(k_op, (B,), 0, N_OPS)
+    p = jnp.asarray(choice_weights, jnp.float32)
+    return jax.random.choice(k_op, N_OPS, (B,), p=p)
 # PIL ITU-R 601-2 luma weights (convert('L'))
 LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
 
@@ -333,11 +409,11 @@ def _smooth(x: jax.Array) -> jax.Array:
 
 def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                       magnitude_std: float, fill: Sequence[float],
-                      prob: float = 0.5) -> jax.Array:
+                      prob: float = 0.5, choice_weights=None) -> jax.Array:
     """One RandAugment layer on float NCHW images in [0,255]."""
     B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
-    op = jax.random.randint(k_op, (B,), 0, N_OPS)
+    op = _draw_ops(k_op, B, choice_weights)
     apply = jax.random.bernoulli(k_prob, prob, (B,))
     mag = magnitude_mean + magnitude_std * jax.random.normal(k_mag, (B,))
     mag = jnp.clip(mag, 0.0, MAX_LEVEL)
@@ -397,6 +473,7 @@ def rand_augment(
     fill: Sequence[float] = (124.0, 116.0, 104.0),
     use_pallas: bool | None = None,
     hflip_rng: jax.Array | None = None,
+    choice_weights: Sequence[float] | None = None,
 ) -> jax.Array:
     """rand-n{num_layers}-m{magnitude}-mstd{magnitude_std} on a uint8/float
     NHWC batch; returns float32 NHWC in [0,255].  PIL quantizes to uint8
@@ -434,6 +511,7 @@ def rand_augment(
                 x, jax.random.fold_in(rng, i), magnitude, magnitude_std,
                 fill, out_dtype=jnp.bfloat16,
                 hflip=hflip if i == 0 else None,
+                choice_weights=choice_weights,
             )
         x = x.astype(jnp.float32)
     else:
@@ -443,7 +521,8 @@ def rand_augment(
             x = jnp.where(hflip[:, None, None, None], x[..., ::-1], x)
         for i in range(num_layers):
             x = randaugment_layer(
-                x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill
+                x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill,
+                choice_weights=choice_weights,
             )
             x = jnp.round(x)
     return jnp.transpose(x, (0, 2, 3, 1))

@@ -1077,7 +1077,8 @@ def run_moma(cfg: Config, synthetic: bool = False):
     teacher = create_model(cfg.model_t.name, num_classes=n_cls, dtype=dtype)
 
     train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
-    train_loader = Loader(train_ds, cfg.data.batch_size, train=True, seed=cfg.run.seed)
+    train_loader = Loader(train_ds, cfg.data.batch_size, train=True,
+                          seed=cfg.run.seed, num_workers=cfg.data.num_workers)
     val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
     test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
     steps_per_epoch = len(train_loader)
@@ -1312,6 +1313,17 @@ def run_moma(cfg: Config, synthetic: bool = False):
             cross_arch=cross_arch, mesh=mesh,
         )
     eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
+
+    if cfg.run.preflight_eval:
+        # reference --skip_validation (inverted store_false flag): check
+        # the loaded teacher on the test split before training
+        # (train_student_moma.py:466-474).  Runs on the plain teacher tree
+        # (before any TP/PP placement).
+        t_eval = make_eval_step(teacher.apply, n_cls, normalize_fn=eval_norm)
+        pre = evaluate(vars_t["params"], vars_t.get("batch_stats", {}),
+                       test_loader, t_eval, mesh, n_cls)
+        print(f"[pre-flight] teacher test acc {pre['acc']:.2f} "
+              f"f1 {pre['f1']:.4f}")
 
     def full_state(st):
         """Checkpointable FULL state — including the EmaTec momentum

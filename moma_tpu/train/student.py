@@ -109,7 +109,8 @@ def run_student(cfg: Config, synthetic: bool = False):
             percent=cfg.data.percent, seed=cfg.run.seed,
         )
 
-    train_loader = Loader(train_ds, cfg.data.batch_size, train=True, seed=cfg.run.seed)
+    train_loader = Loader(train_ds, cfg.data.batch_size, train=True,
+                          seed=cfg.run.seed, num_workers=cfg.data.num_workers)
     val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
     test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
     steps_per_epoch = len(train_loader)
@@ -213,6 +214,16 @@ def run_student(cfg: Config, synthetic: bool = False):
         )
     else:
         eval_step = make_eval_step(student.apply, n_cls, normalize_fn=eval_norm)
+
+    if cfg.run.preflight_eval:
+        # reference --skip_validation (inverted store_false flag): check
+        # the loaded teacher on the test split before distilling from it
+        # (train_student_comparison.py:488-496)
+        t_eval = make_eval_step(teacher.apply, n_cls, normalize_fn=eval_norm)
+        pre = evaluate(vars_t["params"], vars_t.get("batch_stats", {}),
+                       test_loader, t_eval, mesh, n_cls)
+        print(f"[pre-flight] teacher test acc {pre['acc']:.2f} "
+              f"f1 {pre['f1']:.4f}")
 
     # wrap the loader so CRD contrast indices are drawn per batch
     class _SampledLoader:

@@ -99,7 +99,8 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
     model = create_model(cfg.model_s.name, num_classes=n_cls, dtype=dtype)
 
     train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
-    train_loader = Loader(train_ds, cfg.data.batch_size, train=True, seed=cfg.run.seed)
+    train_loader = Loader(train_ds, cfg.data.batch_size, train=True,
+                          seed=cfg.run.seed, num_workers=cfg.data.num_workers)
     val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
     test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
 
@@ -179,6 +180,15 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
                                       grad_accum=cfg.run.grad_accum,
                                       remat=cfg.run.remat)
     eval_step = make_eval_step(model.apply, n_cls, normalize_fn=eval_norm)
+
+    if cfg.run.preflight_eval:
+        # reference --skip_validation (inverted store_false flag): check
+        # the loaded/pretrained model on the test split before training
+        # (train_teacher.py:230-241)
+        pre = evaluate(state.params, state.batch_stats, test_loader,
+                       eval_step, mesh, n_cls)
+        print(f"[pre-flight] model test acc {pre['acc']:.2f} "
+              f"f1 {pre['f1']:.4f}")
 
     from moma_tpu.core.preempt import GracefulStop
     from moma_tpu.train.loop import NonFiniteLossError

@@ -108,6 +108,12 @@ def test_reference_command_lines_parse():
         "--image_size 512 --cosine --epochs 50 --learning_rate 0.05".split()
     )
     assert cfg.model_s.name == "effiB0" and cfg.model_s.n_cls == 4
+    # the reference's --skip_validation is store_false-INVERTED: passing it
+    # RUNS the pre-flight teacher eval (train_teacher.py:88,230) — parsing
+    # must preserve that behavior under the honest field name
+    assert cfg.run.preflight_eval is True
+    assert parse_teacher_args(
+        "--model resnet8".split()).run.preflight_eval is False
 
     # scripts/run_moma.sh flags (with the reference's 'cmo' method name)
     cfg = parse_student_args(
@@ -156,6 +162,42 @@ def test_bn_flag_resolution():
         )
         with pytest.raises(ValueError, match="only wired for --distill moma"):
             run_student(cfg, synthetic=True)
+
+
+def test_preflight_eval_runs_before_training(tmp_path, capsys):
+    """--skip_validation (reference-inverted: the flag ENABLES it) runs a
+    test-split eval of the loaded model before epoch 1, like
+    train_teacher.py:230-241 / train_student_moma.py:466-474."""
+    from moma_tpu.core.config import parse_student_args, parse_teacher_args
+    from moma_tpu.train.student import run_student
+    from moma_tpu.train.teacher import run_teacher
+
+    cfg = parse_teacher_args(
+        f"--model resnet8 --skip_validation --epochs 1 --batch_size 16 "
+        f"--save_dir {tmp_path}/t".split())
+    run_teacher(cfg, synthetic=True)
+    out = capsys.readouterr().out
+    assert "[pre-flight] model test acc" in out
+    # the pre-flight line must precede epoch 1's line
+    assert out.index("[pre-flight]") < out.index("epoch 1")
+
+    cfg = parse_student_args(
+        f"--model_s resnet8 --model_t resnet8 --distill kd -c1 -d1 -b0 "
+        f"--skip_validation --epochs 1 --batch_size 16 "
+        f"--save_dir {tmp_path}/s".split())
+    run_student(cfg, synthetic=True)
+    out = capsys.readouterr().out
+    assert "[pre-flight] teacher test acc" in out
+
+
+def test_loader_num_workers_plumbed():
+    """cfg.data.num_workers reaches the Loader (sizes the native
+    prefetcher's thread pool for file-backed datasets)."""
+    from moma_tpu.data.pipeline import Loader, synthetic_dataset
+
+    ds = synthetic_dataset(32, 8, 4)
+    ld = Loader(ds, 8, train=True, num_workers=2)
+    assert ld.num_workers == 2
 
 
 def test_n_cls_flag_beats_dataset_table():

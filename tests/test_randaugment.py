@@ -228,3 +228,60 @@ def test_pipeline_deterministic():
     a = RA.rand_augment(imgs, jax.random.PRNGKey(7))
     b = RA.rand_augment(imgs, jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_parse_ra_config_grammar():
+    """The reference's rand_augment_transform grammar (RandAugment.py:
+    405-448), including its own docstring examples."""
+    # 'rand-m9-n3-mstd0.5' -> magnitude 9, layers 3, mstd 0.5
+    assert RA.parse_ra_config("rand-m9-n3-mstd0.5") == (3, 9.0, 0.5, None)
+    # 'rand-mstd1-w0' -> mstd 1.0, weight set 0, defaults m10 n2
+    n, m, mstd, w = RA.parse_ra_config("rand-mstd1-w0")
+    assert (n, m, mstd) == (2, 10.0, 1.0)
+    assert w == RA.select_rand_weights(0)
+    assert abs(sum(w) - 1.0) < 1e-6
+    # the training default
+    assert RA.parse_ra_config("rand-n2-m10-mstd0.5") == (2, 10.0, 0.5, None)
+    # keyless sections are skipped (reference `continue`s them); an
+    # omitted mstd means NO magnitude noise (AutoAugmentOp default 0)
+    assert RA.parse_ra_config("rand-xyz-m5") == (2, 5.0, 0.0, None)
+    with pytest.raises(ValueError, match="must start with 'rand'"):
+        RA.parse_ra_config("autoaug-m9")
+    with pytest.raises(ValueError, match="unknown RandAugment config"):
+        RA.parse_ra_config("rand-q3")
+    with pytest.raises(ValueError, match="weight set 0"):
+        RA.parse_ra_config("rand-w1")
+
+
+def test_weighted_op_choice_distribution():
+    """'w0' weights: zero-weight ops (Invert=2, PosterizeTpu=4) are never
+    drawn; Rotate (index 3, weight 0.3) dominates."""
+    w = RA.select_rand_weights(0)
+    ops = np.asarray(RA._draw_ops(jax.random.PRNGKey(0), 4096, w))
+    counts = np.bincount(ops, minlength=RA.N_OPS)
+    assert counts[2] == 0 and counts[4] == 0
+    assert counts[3] == counts.max()
+    # and the weighted pipeline runs end-to-end on both code paths
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (4, 24, 24, 3), np.uint8))
+    out = RA.rand_augment(imgs, jax.random.PRNGKey(1), choice_weights=w)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ra_config_reaches_histo_augment():
+    """--ra_config flows from the config into the augment stage; a bad
+    string fails at construction, not at trace time."""
+    from moma_tpu.core.config import parse_teacher_args
+    from moma_tpu.data.histo_augment import make_histo_augment
+
+    cfg = parse_teacher_args(
+        "--model resnet8 --dataset prostate_hv --image_size 32 "
+        "--ra_config rand-n1-m5-mstd0.1".split())
+    assert cfg.data.ra_config == "rand-n1-m5-mstd0.1"
+    fn = make_histo_augment(cfg)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    assert fn(imgs, jax.random.PRNGKey(0)).shape == (2, 32, 32, 3)
+
+    cfg.data.ra_config = "rand-bogus5"
+    with pytest.raises(ValueError, match="unknown RandAugment"):
+        make_histo_augment(cfg)
