@@ -184,6 +184,12 @@ class RunConfig:
     # GPipe microbatch count T for teacher_parallel='pipeline'
     # (0 = one per stage); per-device batch must divide by T.
     pp_microbatch: int = 0
+    # XLA:TPU scoped-VMEM budget (KiB) for the jitted steps — deeper
+    # fusion tiles for the bandwidth-bound convs.  Measured on the
+    # flagship MoMA step: default ~16 MB = 501 img/s/chip, 64 MB = 539
+    # (+7.5%), 96 MB = 528 (crowds out double-buffering) — see
+    # core/jitopt.py.  0 = XLA default; ignored on CPU backends.
+    scoped_vmem_kib: int = 65536
     donate: bool = True
     # gradient accumulation: split each batch into M equal microbatches
     # scanned sequentially with ONE optimizer update — the activation-
@@ -299,6 +305,10 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "same here, so reference command lines behave "
                         "identically")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--scoped_vmem_kib", type=int, default=65536,
+                   help="XLA:TPU scoped-VMEM budget for the jitted steps "
+                        "(KiB; 0 = XLA default ~16MB).  64MB measured "
+                        "+7.5%% on the MoMA step (core/jitopt.py)")
     p.add_argument("--bn", type=str, default=None,
                    choices=["global", "local", "sync"],
                    help="BN execution mode: 'global' jitted global-batch "
@@ -400,6 +410,7 @@ def _cfg_from_common(a) -> Config:
         skip_test=a.skip_test,
         preflight_eval=a.skip_validation,
         half_precision=not a.fp32,
+        scoped_vmem_kib=a.scoped_vmem_kib,
         bn=_resolve_bn(a),
         model_parallel=a.model_parallel,
         sequence_parallel=a.sequence_parallel,

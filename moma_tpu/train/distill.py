@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from moma_tpu.core import jitopt
 from moma_tpu.core.config import Config
 from moma_tpu.losses import functional as F
 from moma_tpu.losses import aux as A
@@ -474,4 +475,4 @@ def make_distill_train_step(
             new_state = new_state.replace(extra=final_extra)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jitopt.jit(step, donate_argnums=(0,) if donate else ())

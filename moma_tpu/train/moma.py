@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
+from moma_tpu.core import jitopt
 from moma_tpu.core.config import Config
 from moma_tpu.core.mesh import DATA_AXIS, create_mesh, replicated_sharding
 from moma_tpu.core.schedules import lr_schedule
@@ -636,7 +637,7 @@ def make_moma_train_step(
         return new_state, metrics
 
     if bn_mode == "global":
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return jitopt.jit(step, donate_argnums=(0,) if donate else ())
     return _shard_mapped_step(step, mesh, bn_mode, donate)
 
 
@@ -1023,7 +1024,7 @@ def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
         metrics["queue_ptr"] = new_queue.ptr
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jitopt.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
@@ -1060,7 +1061,7 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
                              out_specs=P())
         return f(state, batch, rng)
 
-    return jax.jit(run, donate_argnums=(0,) if donate else ())
+    return jitopt.jit(run, donate_argnums=(0,) if donate else ())
 
 
 def run_moma(cfg: Config, synthetic: bool = False):
@@ -1070,6 +1071,7 @@ def run_moma(cfg: Config, synthetic: bool = False):
     stats = StatsWriter(run_dir)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
 
+    jitopt.set_scoped_vmem(cfg.run.scoped_vmem_kib)
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

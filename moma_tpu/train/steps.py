@@ -19,6 +19,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from moma_tpu.core import jitopt
 from moma_tpu.core.metrics import confusion_matrix
 from moma_tpu.losses.functional import cross_entropy
 from moma_tpu.train.state import TrainState
@@ -118,7 +119,7 @@ def make_vanilla_train_step(augment_fn: Callable | None = None, donate: bool = T
         new_state = state.apply_gradients(grads, new_batch_stats=final_bs)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jitopt.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(apply_fn: Callable, n_cls: int, normalize_fn: Callable | None = None):
@@ -129,7 +130,7 @@ def make_eval_step(apply_fn: Callable, n_cls: int, normalize_fn: Callable | None
     ragged logits, helper/util.py:183-213).
     """
 
-    @jax.jit
+    @jitopt.jit
     def step(params, batch_stats, batch):
         images, labels, mask = batch["image"], batch["label"], batch["mask"]
         if normalize_fn is not None:

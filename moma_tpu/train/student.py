@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
+from moma_tpu.core import jitopt
 from moma_tpu.core.config import Config
 from moma_tpu.core.mesh import create_mesh, replicated_sharding
 from moma_tpu.core.schedules import lr_schedule
@@ -92,6 +93,7 @@ def run_student(cfg: Config, synthetic: bool = False):
             "(--distill moma); the comparison distillers replicate their "
             "fixed teacher"
         )
+    jitopt.set_scoped_vmem(cfg.run.scoped_vmem_kib)
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

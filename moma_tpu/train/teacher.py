@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
+from moma_tpu.core import jitopt
 from moma_tpu.core.config import Config
 from moma_tpu.core.mesh import create_mesh, replicated_sharding
 from moma_tpu.core.schedules import lr_schedule
@@ -93,6 +94,7 @@ def run_teacher(cfg: Config, synthetic: bool = False, max_steps_per_epoch: int =
             "--pp_microbatch apply to the MoMA cross-arch ViT teacher "
             "(--distill moma); teacher training has no model parallelism"
         )
+    jitopt.set_scoped_vmem(cfg.run.scoped_vmem_kib)
     mesh = create_mesh(model_parallel=cfg.run.model_parallel)
     n_cls = cfg.model_s.n_cls
     dtype = jnp.bfloat16 if cfg.run.half_precision else None

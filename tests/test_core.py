@@ -212,3 +212,43 @@ def test_n_cls_flag_beats_dataset_table():
     assert cfg.model_s.n_cls == 2
     cfg = parse_teacher_args("--model resnet8 --dataset prostate_hv".split())
     assert cfg.model_s.n_cls == 4  # table fallback without the flag
+
+
+def test_jitopt_scoped_vmem_injection():
+    """The scoped-VMEM budget is injected only on TPU backends; 0 disables;
+    the wrapper stays a working jax.jit on CPU."""
+    import jax.numpy as jnp
+
+    from moma_tpu.core import jitopt
+
+    # tests run on the CPU mesh: never inject (the flag is TPU-only)
+    assert jitopt.current_compiler_options() is None
+    f = jitopt.jit(lambda x: x * 2)
+    assert float(f(jnp.float32(3.0))) == 6.0
+
+    # on a TPU backend the tuned default (and the 0 = off knob) applies
+    class _Dev:
+        platform = "tpu"
+
+    real_devices = jax.devices
+    jax.devices = lambda *a, **k: [_Dev()]
+    try:
+        jitopt.set_scoped_vmem(None)  # module default
+        assert jitopt.current_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "65536"}
+        jitopt.set_scoped_vmem(32768)
+        assert jitopt.current_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "32768"}
+        jitopt.set_scoped_vmem(0)
+        assert jitopt.current_compiler_options() is None
+    finally:
+        jax.devices = real_devices
+        jitopt.set_scoped_vmem(None)
+
+    # the CLI knob reaches RunConfig
+    from moma_tpu.core.config import parse_teacher_args
+
+    cfg = parse_teacher_args("--model resnet8 --scoped_vmem_kib 0".split())
+    assert cfg.run.scoped_vmem_kib == 0
+    cfg = parse_teacher_args("--model resnet8".split())
+    assert cfg.run.scoped_vmem_kib == 65536
