@@ -15,6 +15,8 @@ import json
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+from moma_tpu.core.jitopt import DEFAULT_SCOPED_VMEM_KIB
+
 # dataset -> number of classes (reference hardcodes this map at
 # train_student_moma.py:249-259)
 DATASET_NUM_CLASSES = {
@@ -46,7 +48,9 @@ class DataConfig:
     data_dir: str = "./data"
     batch_size: int = 64
     eval_batch_size: int = 0  # 0 => same as batch_size
-    num_workers: int = 4
+    # reference default is 8 (train_teacher.py:41); sizes the native
+    # prefetcher's gather thread pool (capped at the host's core count)
+    num_workers: int = 8
     image_size: int = 32
     image_resize: bool = False
     crop: float = 0.2  # RandomResizedCrop lower scale bound
@@ -188,8 +192,9 @@ class RunConfig:
     # fusion tiles for the bandwidth-bound convs.  Measured on the
     # flagship MoMA step: default ~16 MB = 501 img/s/chip, 64 MB = 539
     # (+7.5%), 96 MB = 528 (crowds out double-buffering) — see
-    # core/jitopt.py.  0 = XLA default; ignored on CPU backends.
-    scoped_vmem_kib: int = 65536
+    # core/jitopt.py (the tuned value's single source of truth).
+    # 0 = XLA default; ignored on CPU backends.
+    scoped_vmem_kib: int = DEFAULT_SCOPED_VMEM_KIB
     donate: bool = True
     # gradient accumulation: split each batch into M equal microbatches
     # scanned sequentially with ONE optimizer update — the activation-
@@ -265,7 +270,7 @@ class Config:
 def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--epochs", type=int, default=240)
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--learning_rate", type=float, default=0.05)
@@ -305,7 +310,8 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "same here, so reference command lines behave "
                         "identically")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
-    p.add_argument("--scoped_vmem_kib", type=int, default=65536,
+    p.add_argument("--scoped_vmem_kib", type=int,
+                   default=DEFAULT_SCOPED_VMEM_KIB,
                    help="XLA:TPU scoped-VMEM budget for the jitted steps "
                         "(KiB; 0 = XLA default ~16MB).  64MB measured "
                         "+7.5%% on the MoMA step (core/jitopt.py)")

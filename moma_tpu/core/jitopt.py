@@ -27,15 +27,17 @@ from __future__ import annotations
 
 import jax
 
-_DEFAULT_SCOPED_VMEM_KIB = 65536
-_scoped_vmem_kib = _DEFAULT_SCOPED_VMEM_KIB
+# the tuned value (single source of truth — RunConfig and the CLI flag
+# default import it)
+DEFAULT_SCOPED_VMEM_KIB = 65536
+_scoped_vmem_kib = DEFAULT_SCOPED_VMEM_KIB
 
 
 def set_scoped_vmem(kib: int | None) -> None:
     """Set the scoped-VMEM budget for subsequently-built steps.
     0 = XLA default; None = restore this module's tuned default."""
     global _scoped_vmem_kib
-    _scoped_vmem_kib = _DEFAULT_SCOPED_VMEM_KIB if kib is None else int(kib)
+    _scoped_vmem_kib = DEFAULT_SCOPED_VMEM_KIB if kib is None else int(kib)
 
 
 def current_compiler_options() -> dict | None:

@@ -73,7 +73,7 @@ class Loader:
         train: bool,
         seed: int = 0,
         extras: Optional[Dict[str, np.ndarray]] = None,
-        num_workers: int = 4,
+        num_workers: int = 8,  # reference DataLoader default (train_teacher.py:41)
     ):
         self.ds = dataset
         self.batch_size = batch_size

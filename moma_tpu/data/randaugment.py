@@ -106,13 +106,38 @@ def parse_ra_config(config_str: str):
 
 
 def _draw_ops(k_op, B: int, choice_weights=None):
-    """Per-image op indices: uniform, or the 'w' weighted choice
-    (reference np.random.choice(..., p=choice_weights),
-    RandAugment.py:396-398)."""
+    """Per-image op indices: uniform (the unweighted path draws WITH
+    replacement across layers, like the reference's np.random.choice with
+    replace=True), or one weighted draw (used by tests; the pipeline's
+    weighted path goes through draw_ops_weighted)."""
     if choice_weights is None:
         return jax.random.randint(k_op, (B,), 0, N_OPS)
     p = jnp.asarray(choice_weights, jnp.float32)
     return jax.random.choice(k_op, N_OPS, (B,), p=p)
+
+
+def draw_ops_weighted(rng, B: int, num_layers: int, choice_weights):
+    """(B, num_layers) weighted op draw WITHOUT replacement — the
+    reference draws all of an image's layer ops in ONE
+    np.random.choice(..., replace=choice_weights is None, p=...) call
+    ('no replacement when using weighted choice', RandAugment.py:396-398),
+    so under 'w0' an image never gets the same op twice.
+
+    Gumbel-top-k: the num_layers largest of log(p_i) + Gumbel_i are an
+    exact sample without replacement from the categorical; zero-weight
+    ops (log p = -inf) can never surface."""
+    import numpy as _np
+
+    nonzero = int((_np.asarray(choice_weights) > 0).sum())
+    if num_layers > nonzero:
+        raise ValueError(
+            f"num_layers={num_layers} > {nonzero} ops with nonzero weight: "
+            "cannot sample without replacement")
+    logp = jnp.log(jnp.asarray(choice_weights, jnp.float32))
+    u = jax.random.uniform(rng, (B, N_OPS), minval=1e-20, maxval=1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    _, idx = jax.lax.top_k(logp[None, :] + gumbel, num_layers)
+    return idx
 # PIL ITU-R 601-2 luma weights (convert('L'))
 LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
 
@@ -409,11 +434,14 @@ def _smooth(x: jax.Array) -> jax.Array:
 
 def randaugment_layer(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                       magnitude_std: float, fill: Sequence[float],
-                      prob: float = 0.5, choice_weights=None) -> jax.Array:
-    """One RandAugment layer on float NCHW images in [0,255]."""
+                      prob: float = 0.5, op: jax.Array | None = None) -> jax.Array:
+    """One RandAugment layer on float NCHW images in [0,255].  `op`:
+    optional externally-drawn (B,) op indices (the weighted
+    without-replacement path); prob/magnitude/sign still draw here."""
     B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
-    op = _draw_ops(k_op, B, choice_weights)
+    if op is None:
+        op = _draw_ops(k_op, B)
     apply = jax.random.bernoulli(k_prob, prob, (B,))
     mag = magnitude_mean + magnitude_std * jax.random.normal(k_mag, (B,))
     mag = jnp.clip(mag, 0.0, MAX_LEVEL)
@@ -500,6 +528,17 @@ def rand_augment(
         hflip = jax.random.bernoulli(hflip_rng, 0.5, (x.shape[0],))
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform != "cpu"
+    # weighted choice ('w' config): the reference draws ALL of an image's
+    # layer ops in one without-replacement np.random.choice (RandAugment.
+    # py:396-398) — draw the (B, num_layers) matrix up front and feed one
+    # column per layer.  fold_in(rng, num_layers) cannot collide with the
+    # per-layer fold_in(rng, i), i < num_layers.
+    ops_bk = None
+    if choice_weights is not None and num_layers > 0:
+        ops_bk = draw_ops_weighted(
+            jax.random.fold_in(rng, num_layers), x.shape[0], num_layers,
+            choice_weights,
+        )
     if use_pallas and num_layers > 0:
         from moma_tpu.ops.pallas_randaugment import ra_layer_pallas
 
@@ -511,7 +550,7 @@ def rand_augment(
                 x, jax.random.fold_in(rng, i), magnitude, magnitude_std,
                 fill, out_dtype=jnp.bfloat16,
                 hflip=hflip if i == 0 else None,
-                choice_weights=choice_weights,
+                op=None if ops_bk is None else ops_bk[:, i],
             )
         x = x.astype(jnp.float32)
     else:
@@ -522,7 +561,7 @@ def rand_augment(
         for i in range(num_layers):
             x = randaugment_layer(
                 x, jax.random.fold_in(rng, i), magnitude, magnitude_std, fill,
-                choice_weights=choice_weights,
+                op=None if ops_bk is None else ops_bk[:, i],
             )
             x = jnp.round(x)
     return jnp.transpose(x, (0, 2, 3, 1))

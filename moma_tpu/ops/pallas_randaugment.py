@@ -443,15 +443,17 @@ def ra_layer_pallas(x: jax.Array, rng: jax.Array, magnitude_mean: float,
                     magnitude_std: float, fill: Sequence[float],
                     prob: float = 0.5, interpret: bool = False,
                     out_dtype=jnp.float32, hflip=None,
-                    choice_weights=None) -> jax.Array:
+                    op=None) -> jax.Array:
     """One RandAugment layer on (B,3,H,W) integer-valued images in
     [0,255] (any float dtype; bf16 in/out is exact for integers and
     halves HBM traffic when chaining layers).  hflip: optional (B,) bool
-    horizontal-flip bits applied before the layer's op.  choice_weights:
-    optional per-op probabilities (the config-string 'w' section)."""
+    horizontal-flip bits applied before the layer's op.  op: optional
+    externally-drawn (B,) op indices (the weighted without-replacement
+    path, data/randaugment.draw_ops_weighted)."""
     B, C, H, W = x.shape
     k_op, k_prob, k_mag, k_sign = jax.random.split(rng, 4)
-    op = RA._draw_ops(k_op, B, choice_weights)
+    if op is None:
+        op = RA._draw_ops(k_op, B)
     apply = jax.random.bernoulli(k_prob, prob, (B,))
     mag = jnp.clip(
         magnitude_mean + magnitude_std * jax.random.normal(k_mag, (B,)),

@@ -254,13 +254,22 @@ def test_parse_ra_config_grammar():
 
 
 def test_weighted_op_choice_distribution():
-    """'w0' weights: zero-weight ops (Invert=2, PosterizeTpu=4) are never
-    drawn; Rotate (index 3, weight 0.3) dominates."""
+    """'w0' weights: the reference draws ALL layer ops per image in ONE
+    np.random.choice(..., replace=False, p=w) (RandAugment.py:396-398) —
+    so zero-weight ops (Invert=2, PosterizeTpu=4) never appear, an image
+    never repeats an op across layers, and Rotate (weight 0.3) dominates."""
     w = RA.select_rand_weights(0)
-    ops = np.asarray(RA._draw_ops(jax.random.PRNGKey(0), 4096, w))
-    counts = np.bincount(ops, minlength=RA.N_OPS)
+    ops = np.asarray(
+        RA.draw_ops_weighted(jax.random.PRNGKey(0), 4096, 2, w))
+    assert ops.shape == (4096, 2)
+    counts = np.bincount(ops.ravel(), minlength=RA.N_OPS)
     assert counts[2] == 0 and counts[4] == 0
     assert counts[3] == counts.max()
+    # WITHOUT replacement: no image's two layers share an op
+    assert (ops[:, 0] != ops[:, 1]).all()
+    # more layers than nonzero-weight ops is impossible to sample
+    with pytest.raises(ValueError, match="without replacement"):
+        RA.draw_ops_weighted(jax.random.PRNGKey(0), 8, 14, w)
     # and the weighted pipeline runs end-to-end on both code paths
     imgs = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, (4, 24, 24, 3), np.uint8))
