@@ -62,7 +62,16 @@ def main(argv=None):
                    help="reference-compat (test.py:62 'where to save'): "
                         "directory for the stat JSON; maps to "
                         "{model_path}/test_stat.json unless --out is given")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="loader gather threads (reference DataLoader knob)")
+    p.add_argument("--scoped_vmem_kib", type=int, default=None,
+                   help="XLA:TPU scoped-VMEM budget for the eval step "
+                        "(default: the tuned 64MB, core/jitopt.py; 0 = "
+                        "XLA default)")
     a = p.parse_args(argv)
+    from moma_tpu.core import jitopt
+
+    jitopt.set_scoped_vmem(a.scoped_vmem_kib)
     if a.csv_dir and not a.csv:
         a.csv = a.csv_dir
     if a.model_path and a.out == "./test_stat.json":
@@ -87,7 +96,8 @@ def main(argv=None):
         def norm(images):
             return aug.normalize(images, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
 
-    loader = Loader(test_ds, a.batch_size, train=False)
+    loader = Loader(test_ds, a.batch_size, train=False,
+                    num_workers=a.num_workers)
     model = create_model(a.model, num_classes=n_cls)
     sample = jnp.zeros((2, a.image_size, a.image_size, 3))
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)

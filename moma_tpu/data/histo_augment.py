@@ -34,8 +34,11 @@ def make_histo_augment(cfg):
     use_ra = cfg.data.aug_train == "RA"
     # the reference hardcodes 'rand-n2-m10-mstd0.5' in its transform stacks
     # (dataset/histo_dataset.py:227-228); --ra_config exposes the full
-    # rand_augment_transform grammar (RandAugment.py:405-448) incl. 'w0'
-    n_layers, magnitude, mstd, weights = parse_ra_config(cfg.data.ra_config)
+    # rand_augment_transform grammar (RandAugment.py:405-448) incl. 'w0'.
+    # Only parsed when RA is on: --aug_train NULL must not fail on a
+    # stale/bogus string that has zero effect on the run.
+    if use_ra:
+        n_layers, magnitude, mstd, weights = parse_ra_config(cfg.data.ra_config)
 
     def augment(images, rng):
         k1, k2, k3 = jax.random.split(rng, 3)

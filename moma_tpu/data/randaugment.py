@@ -105,15 +105,12 @@ def parse_ra_config(config_str: str):
     return num_layers, magnitude, magnitude_std, weights
 
 
-def _draw_ops(k_op, B: int, choice_weights=None):
-    """Per-image op indices: uniform (the unweighted path draws WITH
+def _draw_ops(k_op, B: int):
+    """Per-image uniform op indices — the unweighted path draws WITH
     replacement across layers, like the reference's np.random.choice with
-    replace=True), or one weighted draw (used by tests; the pipeline's
-    weighted path goes through draw_ops_weighted)."""
-    if choice_weights is None:
-        return jax.random.randint(k_op, (B,), 0, N_OPS)
-    p = jnp.asarray(choice_weights, jnp.float32)
-    return jax.random.choice(k_op, N_OPS, (B,), p=p)
+    replace=True (RandAugment.py:397-398).  Weighted draws go through
+    draw_ops_weighted (one without-replacement draw per image)."""
+    return jax.random.randint(k_op, (B,), 0, N_OPS)
 
 
 def draw_ops_weighted(rng, B: int, num_layers: int, choice_weights):

@@ -286,7 +286,7 @@ def make_simkd_eval_step(
     simkd_mod = distiller.modules["simkd"]
     t_feat_shape = distiller.feat_t_shapes[-2]
 
-    @jax.jit
+    @jitopt.jit
     def step(params, batch_stats, batch):
         images, labels, mask = batch["image"], batch["label"], batch["mask"]
         if normalize_fn is not None:

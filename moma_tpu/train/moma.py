@@ -1081,8 +1081,10 @@ def run_moma(cfg: Config, synthetic: bool = False):
     train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
     train_loader = Loader(train_ds, cfg.data.batch_size, train=True,
                           seed=cfg.run.seed, num_workers=cfg.data.num_workers)
-    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
-    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
+    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False,
+                        num_workers=cfg.data.num_workers)
+    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False,
+                         num_workers=cfg.data.num_workers)
     steps_per_epoch = len(train_loader)
 
     rng = jax.random.PRNGKey(cfg.run.seed)

@@ -113,8 +113,10 @@ def run_student(cfg: Config, synthetic: bool = False):
 
     train_loader = Loader(train_ds, cfg.data.batch_size, train=True,
                           seed=cfg.run.seed, num_workers=cfg.data.num_workers)
-    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False)
-    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False)
+    val_loader = Loader(val_ds, cfg.data.eval_batch_size, train=False,
+                        num_workers=cfg.data.num_workers)
+    test_loader = Loader(test_ds, cfg.data.eval_batch_size, train=False,
+                         num_workers=cfg.data.num_workers)
     steps_per_epoch = len(train_loader)
 
     rng = jax.random.PRNGKey(cfg.run.seed)
