@@ -31,7 +31,7 @@ from moma_tpu.train.loop import evaluate
 from moma_tpu.train.steps import make_eval_step
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("moma_tpu test_eval")
     p.add_argument("--runs", type=str, default=None,
                    help="glob of run dirs containing ckpt/{best_acc,...}")
@@ -68,7 +68,29 @@ def main(argv=None):
                    help="XLA:TPU scoped-VMEM budget for the eval step "
                         "(default: the tuned 64MB, core/jitopt.py; 0 = "
                         "XLA default)")
-    a = p.parse_args(argv)
+    # Reference test.py reuses the full TRAINING parser (test.py:35-118), so
+    # its command lines carry training flags that the eval path never reads.
+    # Accepted and ignored here so those command lines run unchanged; the
+    # two that look eval-relevant are subsumed: --image_resize (the packed
+    # cache already stores every image at --image_size) and --aug_train
+    # (eval transforms are deterministic; the RA_375_512 eval stack is an
+    # orphan experiment branch, histo_dataset.py:664).
+    for flag in (
+        "--aug_train", "--cosine", "--crop", "--dali", "--deterministic",
+        "--dist-url", "--epochs", "--gpu_id", "--image_resize",
+        "--learning_rate", "--lr_decay_epochs", "--lr_decay_rate",
+        "--momentum", "--multiprocessing-distributed", "--pre_strict",
+        "--pretrain", "--print_freq", "--seed", "--skip_test",
+        "--skip_validation", "--trial", "--weight_decay",
+    ):
+        p.add_argument(flag, nargs="?", const=True, default=None,
+                       help="accepted for reference test.py compatibility, "
+                            "ignored (training-parser residue)")
+    return p
+
+
+def main(argv=None):
+    a = build_parser().parse_args(argv)
     from moma_tpu.core import jitopt
 
     jitopt.set_scoped_vmem(a.scoped_vmem_kib)

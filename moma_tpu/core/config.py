@@ -430,8 +430,9 @@ def _cfg_from_common(a) -> Config:
     return cfg
 
 
-def parse_teacher_args(argv=None) -> Config:
-    """CLI mirroring train_teacher.py:35-118."""
+def teacher_parser() -> argparse.ArgumentParser:
+    """Parser mirroring train_teacher.py:35-118 (exposed for the flag-bridge
+    audit, tests/test_flag_bridge_audit.py)."""
     p = argparse.ArgumentParser("moma_tpu train_teacher")
     _add_common_flags(p)
     p.add_argument("--model", type=str, default="resnet20")
@@ -440,7 +441,12 @@ def parse_teacher_args(argv=None) -> Config:
     p.add_argument("--pre_strict", action="store_false", dest="pre_strict",
                    help="reference alias of strict pretrained loading "
                         "(train_teacher.py:67; passing it disables strict)")
-    a = p.parse_args(argv)
+    return p
+
+
+def parse_teacher_args(argv=None) -> Config:
+    """CLI mirroring train_teacher.py:35-118."""
+    a = teacher_parser().parse_args(argv)
     cfg = _cfg_from_common(a)
     cfg.model_s = ModelConfig(
         name=a.model, pretrain=a.pretrain,
@@ -452,8 +458,9 @@ def parse_teacher_args(argv=None) -> Config:
     return cfg
 
 
-def parse_student_args(argv=None) -> Config:
-    """CLI mirroring train_student_moma.py:46-176 / train_student_comparison.py."""
+def student_parser() -> argparse.ArgumentParser:
+    """Parser mirroring train_student_moma.py:46-176 /
+    train_student_comparison.py (exposed for the flag-bridge audit)."""
     p = argparse.ArgumentParser("moma_tpu train_student")
     _add_common_flags(p)
     p.add_argument("--model_s", type=str, default="resnet8x4")
@@ -505,7 +512,12 @@ def parse_student_args(argv=None) -> Config:
                         "dynamic-int8 convs (per-batch act scales, "
                         "per-channel weight scales from the live EMA "
                         "params; documented deviation)")
-    a = p.parse_args(argv)
+    return p
+
+
+def parse_student_args(argv=None) -> Config:
+    """CLI mirroring train_student_moma.py:46-176 / train_student_comparison.py."""
+    a = student_parser().parse_args(argv)
     cfg = _cfg_from_common(a)
     cfg.model_s = ModelConfig(name=a.model_s, pretrain=a.std_pre,
                               strict=a.std_strict)
