@@ -168,6 +168,57 @@ def test_runner_rejects_model_parallel_where_unwired(tmp_path):
         run_student(cfg, synthetic=True)
 
 
+def test_model_parallel_resume_roundtrip(tmp_path):
+    """--resume under --model_parallel 2: the checkpointed queue must come
+    back STILL sharded P('model', None) (orbax restores the template's
+    shardings — core/checkpoint.py restore), and the resumed run must be
+    bit-identical to the uninterrupted one."""
+    from moma_tpu.core.config import ModelConfig
+    from moma_tpu.train.moma import run_moma
+
+    def mk(save_dir):
+        cfg = Config()
+        cfg.data.dataset = "synthetic"
+        cfg.data.batch_size = 8
+        cfg.data.eval_batch_size = 8
+        cfg.data.image_size = 32
+        cfg.run.model_parallel = 2
+        cfg.run.epochs = 1
+        cfg.run.print_freq = 1
+        cfg.run.save_dir = str(save_dir)
+        cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+        cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=64, nce_t=0.15, alpha=0.9,
+                              mem="MoCo", head="mlp", attn="self")
+        cfg.model_s = ModelConfig(name="resnet8", n_cls=4)
+        cfg.model_t = ModelConfig(name="resnet8", n_cls=4)
+        return cfg
+
+    cfg = mk(tmp_path / "split")
+    run_moma(cfg, synthetic=True)
+    cfg.run.epochs = 2
+    cfg.run.resume = True
+    state_resumed, _ = run_moma(cfg, synthetic=True)
+
+    spec = state_resumed.queue.memory["memory"].sharding.spec
+    assert spec and spec[0] == "model", (
+        f"resume dropped the queue's 'model' sharding: {spec}"
+    )
+
+    cfg_full = mk(tmp_path / "straight")
+    cfg_full.run.epochs = 2
+    state_full, _ = run_moma(cfg_full, synthetic=True)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            (state_resumed.params, state_resumed.queue.memory,
+             state_resumed.batch_stats)),
+        jax.tree_util.tree_leaves(
+            (state_full.params, state_full.queue.memory,
+             state_full.batch_stats)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_run_moma_validates_model_parallel_combos(tmp_path):
     from moma_tpu.core.config import ModelConfig
     from moma_tpu.train.moma import run_moma
