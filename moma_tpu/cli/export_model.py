@@ -14,13 +14,17 @@ on any jax backend.
     python -m moma_tpu.cli.export_model --model resnet8 --image_size 32 \
         --n_cls 10 --out /tmp/m
 
-Precision guidance (measured on TPU v5e, BASELINE.md "Relay-recovery
-measurement batch"): for CONV backbones export `--int8 --bf16`
-(effiB0@512: 2.28x over f32 — int8 halves the bandwidth-bound conv
-streams, bf16 the epilogue); for ViT trunks export `--bf16` ALONE
-(vit_tiny@224: bf16 2.7x over f32, while int8 dense trunks LOSE to
-bf16 — int32-accumulating dots forgo the MXU bf16 rate and the
-quant/dequant pairs break XLA's matmul fusion chain).
+Precision guidance (measured on TPU v5e, BASELINE.md "Serving floor
+analysis"): export `--bf16` ALONE for BOTH conv and transformer
+backbones — effiB0@512 4,560 img/s (2.38x over f32, device trace
+27.15 ms/call) vs int8+bf16's 4,175 (the per-layer quantize/dequantize
+clamp fusions cost more HBM traffic than int8 dots save); vit_tiny@224
+bf16 2.7x over f32 while int8 dense trunks LOSE outright
+(int32-accumulating dots forgo the MXU bf16 rate).  `--int8` remains
+useful when artifact/weight MEMORY is the constraint, at a measured
+~8% throughput cost vs plain bf16 on conv nets.  (The earlier
+"conv nets -> --int8 --bf16" ranking came from dispatch-stalled
+wallclock; device traces overturned it.)
 """
 
 from __future__ import annotations

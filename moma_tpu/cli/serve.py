@@ -114,11 +114,18 @@ def main(argv=None):
                         "(shard_map around the single-device artifact; "
                         "weak-scales serving throughput by device count)")
     p.add_argument("--out", type=str, default="./preds.csv")
+    p.add_argument("--scoped_vmem_kib", type=int, default=None,
+                   help="XLA:TPU scoped-VMEM budget for the serving jit "
+                        "(default: the tuned 64MB, core/jitopt.py — "
+                        "measured -7% device time on the bf16 effiB0@512 "
+                        "forward; 0 = XLA default)")
     a = p.parse_args(argv)
 
+    from moma_tpu.core import jitopt
     from moma_tpu.core.cache import enable_compilation_cache
     from moma_tpu.core.export import ExportedClassifier
 
+    jitopt.set_scoped_vmem(a.scoped_vmem_kib)
     enable_compilation_cache()
     clf = ExportedClassifier(a.artifact)
     if a.data_parallel:

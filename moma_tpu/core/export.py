@@ -72,8 +72,15 @@ class ExportedClassifier:
             self._exp = jex.deserialize(f.read())
         # jit the call: the raw Exported.call re-lowers on EVERY invocation
         # (measured 29 img/s vs 1000+ for effiB0@512 — pure retrace cost);
-        # under jit each batch shape compiles once and is cached
-        self._call = jax.jit(self._exp.call)
+        # under jit each batch shape compiles once and is cached.  Routed
+        # through jitopt for the 64 MB scoped-VMEM budget: measured on the
+        # DEVICE TRACE (module-span median) the bf16 effiB0@512 forward
+        # drops 29.28 -> 27.15 ms/call (+7.8%); the earlier wallclock-based
+        # null result was masked by relay dispatch stalls (BASELINE.md
+        # "Serving floor analysis", session 15)
+        from moma_tpu.core import jitopt
+
+        self._call = jitopt.jit(self._exp.call)
         meta_path = hlo_path[: -len(".stablehlo")] + ".json"
         self.meta = {}
         if os.path.exists(meta_path):
@@ -115,7 +122,9 @@ class ExportedClassifier:
             f = smap(call, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
             return f(images)
 
-        sharded = jax.jit(run)
+        from moma_tpu.core import jitopt
+
+        sharded = jitopt.jit(run)
         in_shard = NamedSharding(mesh, P("data"))
 
         def dispatch(images):

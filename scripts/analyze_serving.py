@@ -104,7 +104,10 @@ def main():
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e.get("dur") and e.get("pid") in device_pids:
             name = e.get("name", "?")
-            if name.startswith("$"):
+            # skip sugar names and the MODULE-level span ("jit_call(...)"),
+            # which CONTAINS every op span — counting it doubles the total
+            # (observed: 60.26 ms "total" = exactly 2x the real 30.13)
+            if name.startswith("$") or name.startswith("jit_"):
                 continue
             agg[name] += e["dur"]
             cnt[name] += 1

@@ -136,7 +136,9 @@ def main():
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e.get("dur") and e.get("pid") in device_pids:
             name = e.get("name", "?")
-            if name.startswith("$"):
+            # "$"-sugar and module-level "jit_*" spans contain the op spans;
+            # counting them double-counts (conv_ceiling.py skips them too)
+            if name.startswith("$") or name.startswith("jit_"):
                 continue
             agg[name] += e["dur"]
             cnt[name] += 1
