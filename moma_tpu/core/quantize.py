@@ -33,6 +33,17 @@ with exotic config (input dilation, masks) fall back to fp silently.
 `quantized_apply_dynamic` is the calibration-free variant (per-batch
 in-graph act scales) used by `--int8_dynamic` and the training-side
 `--teacher_quant int8` (train/moma.py::_teacher_apply).
+
+`weight_only_for_serving` (`--int8_weights`) is the third mode: kernels
+are quantized per-output-channel to int8 ON THE HOST and baked into the
+artifact as int8 constants (the f32 originals are DCE'd at trace); the
+graph dequantizes them behind a lax.optimization_barrier (which stops
+XLA constant-folding the dequant back to a full-width kernel) and
+computes in the activation dtype.  No activation rounding, no
+calibration, ~4x smaller weight constants — the right mode when full
+int8's per-layer activation quantize streams cost more HBM than the
+int8 dots save (measured for conv nets: BASELINE.md "Serving floor
+analysis").
 """
 
 from __future__ import annotations
@@ -292,6 +303,139 @@ def quantize_for_serving(
     scales = calibrate(apply_fn, variables, calib_batches, dense=dense,
                        n_cls=n_cls, **apply_kwargs)
     return quantized_apply(apply_fn, scales), scales
+
+
+def collect_quantizable(
+    apply_fn: Callable,
+    variables: dict,
+    sample: jax.Array,
+    dense: bool = False,
+    n_cls: Optional[int] = None,
+    **apply_kwargs,
+) -> list:
+    """Enumerate the quantizable conv/dense layers of one forward.
+
+    Runs the forward under `jax.eval_shape` (no FLOPs, host-only) with the
+    recording interceptor and returns [(module_path, kind)] in call order,
+    minus the final-logits Dense (same exclusion rule as `calibrate`).
+    """
+    order: list = []
+
+    def run(v, x):
+        stats: Dict[str, jax.Array] = {}
+        with nn.intercept_methods(
+                calibration_interceptor(stats, dense=dense, order=order)):
+            apply_fn(v, x, **apply_kwargs)
+        return 0
+
+    jax.eval_shape(run, variables, sample)
+    if dense and order:
+        last_key, last_kind, last_feat = order[-1]
+        if last_kind == "dense" and (n_cls is None or last_feat == n_cls):
+            order = order[:-1]  # the logits layer stays fp
+    seen, layers = set(), []
+    for key, kind, _ in order:
+        if key not in seen:
+            seen.add(key)
+            layers.append((key, kind))
+    return layers
+
+
+def _params_node(variables: dict, key: str) -> dict:
+    node = variables["params"]
+    if key:  # "" = the applied module IS the conv/dense (no submodules)
+        for part in key.split("/"):
+            node = node[part]
+    return node
+
+
+def quantize_weights(variables: dict, layers: Sequence) -> dict:
+    """Host-side (numpy) per-output-channel int8 quantization of the
+    kernels named by `layers`.  Returns {path: (q_w int8, s_w f32)} —
+    these become the ONLY kernel constants the weight-only graph closes
+    over (the f32 originals are dead-code-eliminated at trace)."""
+    import numpy as _np
+
+    qw: dict = {}
+    for key, _kind in layers:
+        kern = _np.asarray(_params_node(variables, key)["kernel"],
+                           _np.float32)
+        axes = tuple(range(kern.ndim - 1))
+        s = _np.maximum(_np.abs(kern).max(axis=axes), 1e-8) / QMAX  # (out,)
+        q = _np.clip(_np.round(kern / s), -QMAX, QMAX).astype(_np.int8)
+        qw[key] = (q, s.astype(_np.float32))
+    return qw
+
+
+def _weight_only_call(mod, x: jax.Array, q, s) -> jax.Array:
+    """conv/dense with an int8 kernel dequantized in-graph: the artifact
+    stores q_w (int8, 4x smaller than f32) and the runtime streams int8
+    weight bytes from HBM; compute stays in the activation dtype (bf16
+    under --bf16) at the full MXU rate.  The optimization_barrier blocks
+    XLA from constant-folding `q * s` back into a full-width kernel."""
+    cdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    q_const = jax.lax.optimization_barrier(jnp.asarray(q))
+    w = q_const.astype(cdt) * jnp.asarray(s, cdt)
+    params = mod.variables["params"]
+    if isinstance(mod, nn.Conv):
+        y = jax.lax.conv_general_dilated(
+            x.astype(cdt), w,
+            window_strides=_pairs(mod.strides, 2),
+            padding=_padding(mod.padding, 2),
+            rhs_dilation=_pairs(getattr(mod, "kernel_dilation", 1), 2),
+            feature_group_count=mod.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        y = jax.lax.dot_general(
+            x.astype(cdt), w, (((x.ndim - 1,), (0,)), ((), ())))
+    if mod.use_bias:
+        y = y + jnp.asarray(params["bias"], cdt)
+    out_dtype = mod.dtype or cdt
+    return y.astype(out_dtype)
+
+
+def weight_only_apply(apply_fn: Callable, qw: dict) -> Callable:
+    """Drop-in apply_fn where every layer in `qw` runs with an int8
+    weight dequantized in-graph (weights-only quantization: activations
+    and accumulation untouched — none of the per-layer activation
+    quantize/dequantize streams that made full int8 LOSE to bf16 on the
+    device trace, BASELINE.md "Serving floor analysis")."""
+
+    def wrapped(variables, *args, **kwargs):
+        def interceptor(next_fun, fargs, fkwargs, context):
+            if not fargs:
+                return next_fun(*fargs, **fkwargs)
+            mod, x = context.module, fargs[0]
+            if ((_is_conv_call(context) and _supported(mod, x))
+                    or (_is_dense_call(context)
+                        and _supported_dense(mod, x))):
+                key = _path_key(mod)
+                if key in qw:
+                    return _weight_only_call(mod, x, *qw[key])
+            return next_fun(*fargs, **fkwargs)
+
+        with nn.intercept_methods(interceptor):
+            return apply_fn(variables, *args, **kwargs)
+
+    return wrapped
+
+
+def weight_only_for_serving(
+    apply_fn: Callable,
+    variables: dict,
+    sample: jax.Array,
+    dense: bool = True,
+    n_cls: Optional[int] = None,
+    **apply_kwargs,
+):
+    """One-call weights-only int8: enumerate (eval_shape, no device work),
+    quantize kernels on host, wrap.  No calibration pass — weight ranges
+    are known exactly.  Returns (wrapped_apply_fn, n_layers)."""
+    layers = collect_quantizable(apply_fn, variables, sample, dense=dense,
+                                 n_cls=n_cls, **apply_kwargs)
+    qw = quantize_weights(variables, layers)
+    return weight_only_apply(apply_fn, qw), len(qw)
 
 
 def teacher_apply_for(teacher_apply: Callable, teacher_quant: str,

@@ -11,9 +11,10 @@ floors computed for the train step attach to the serving graph:
     python scripts/analyze_serving.py int8_bf16 /tmp/serv_i8b /tmp/serv_i8b
     python scripts/conv_ceiling.py /tmp/serv_i8b <iters>
 
-Modes: f32 | bf16 | int8 | int8_bf16 | int8_dynamic (the export CLI's
-precision matrix, cli/export_model.py).  Env: SERV_BS (default 128),
-SERV_MODEL (effiB0), SERV_IMG (512), SERV_ITERS (20).
+Modes: f32 | bf16 | int8 | int8_bf16 | int8_dynamic | w8 | w8_bf16 (the
+export CLI's precision matrix, cli/export_model.py; w8 = weights-only
+int8).  Env: SERV_BS (default 128), SERV_MODEL (effiB0), SERV_IMG (512),
+SERV_ITERS (20).
 """
 
 from __future__ import annotations
@@ -50,6 +51,8 @@ MODE_FLAGS = {
     "int8": ["--int8", "--calib_n", "2"],
     "int8_bf16": ["--int8", "--calib_n", "2", "--bf16"],
     "int8_dynamic": ["--int8_dynamic"],
+    "w8": ["--int8_weights"],
+    "w8_bf16": ["--int8_weights", "--bf16"],
 }
 
 

@@ -5,10 +5,13 @@ export CLI produces (uint8 -> normalize -> backbone -> f32 logits,
 StableHLO artifact reloaded via ExportedClassifier), for the three
 precision modes:
 
-  f32    plain export
-  bf16   --bf16 (bf16 compute baked at export, logits f32)
-  int8   --int8 (PTQ: per-tensor act / per-channel weight scales,
-         int8 x int8 -> int32 convs on the MXU, fp epilogue)
+  f32          plain export
+  bf16         --bf16 (bf16 compute baked at export, logits f32)
+  int8         --int8 (PTQ: per-tensor act / per-channel weight scales,
+               int8 x int8 -> int32 convs on the MXU, fp epilogue)
+  int8_bf16    --int8 --bf16
+  w8 / w8_bf16 --int8_weights [--bf16] (weights-only: int8 kernels
+               dequantized in-graph, activations untouched)
 
 Protocol (CLAUDE.md timing rules): inputs device-resident (a host-push
 per call measures the 25 MB/s axon tunnel, not the chip); N timed
@@ -91,6 +94,10 @@ def main(argv=None):
                 args.append("--int8_dynamic")
             elif mode == "int8_bf16":
                 args += ["--int8", "--calib_n", "2", "--bf16"]
+            elif mode == "w8":
+                args.append("--int8_weights")
+            elif mode == "w8_bf16":
+                args += ["--int8_weights", "--bf16"]
             try:
                 export_main(args)
                 clf = ExportedClassifier(out)
@@ -101,8 +108,10 @@ def main(argv=None):
                 results[mode] = None
                 continue
             results[mode] = round(rate, 1)
-            print(f"{mode}: {rate:.1f} img/s/chip "
-                  f"(BS{a.bs} @ {a.image_size}, {a.iters} overlapped iters)")
+            print(f"{mode}: {rate:.1f} img/s/chip, "
+                  f"{1000.0 * a.bs / rate:.2f} ms/call "
+                  f"(BS{a.bs} @ {a.image_size}, {a.iters} overlapped iters, "
+                  f"artifact {os.path.getsize(out + '.stablehlo') / 1e6:.1f} MB)")
 
     if results.get("f32"):
         for m, r in results.items():

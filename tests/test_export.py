@@ -106,7 +106,7 @@ def test_export_int8_flag_conflict_and_image_calibration(tmp_path):
 
     from moma_tpu.cli.export_model import main as export_main
 
-    with pytest.raises(SystemExit, match="contradicts"):
+    with pytest.raises(SystemExit, match="pick ONE"):
         export_main(["--model", "resnet8", "--n_cls", "10",
                      "--image_size", "32", "--out", str(tmp_path / "x"),
                      "--int8", "--int8_dynamic"])

@@ -270,5 +270,148 @@ def test_cli_int8_bf16_export(tmp_path):
           "--out", out, "--int8", "--bf16", "--verify"])
 
 
+def test_weight_only_grid_exactness():
+    """Kernels already on the int8 grid -> weight-only conv == fp conv
+    EXACTLY (activations are untouched, so unlike full int8 there is no
+    input-rounding term at all)."""
+    from moma_tpu.core.quantize import weight_only_for_serving
+
+    conv = nn.Conv(8, (3, 3), padding="SAME")
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 8, 8, 4), jnp.float32)
+    kshape = conv.init(jax.random.key(0), x)["params"]["kernel"].shape
+    k = np.asarray(rs.randint(-127, 128, kshape), np.float32)
+    k[0, 0, 0, :] = 127.0  # per-channel absmax = 127 -> scale exactly 1
+    v = {"params": {"kernel": jnp.asarray(k), "bias": jnp.zeros((8,))}}
+    wapply, n = weight_only_for_serving(conv.apply, v, x, dense=False)
+    assert n == 1
+    np.testing.assert_allclose(np.asarray(wapply(v, x)),
+                               np.asarray(conv.apply(v, x)),
+                               rtol=0, atol=1e-5)
+
+
+def test_weight_only_near_lossless_fresh_init():
+    """Weight-only int8 has NO activation-absmax degeneracy (the fresh-
+    init failure mode of full int8): end logits stay within ~2% rel L2
+    of fp even on untrained deep nets."""
+    from moma_tpu.core.quantize import weight_only_for_serving
+
+    for name, size in [("resnet8", 32), ("effiB0", 64)]:
+        model = create_model(name, num_classes=10)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(4, size, size, 3), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        wapply, _ = weight_only_for_serving(model.apply, v, x, dense=True,
+                                            n_cls=10, train=False)
+        _, lf = model.apply(v, x, train=False)
+        _, lw = jax.jit(lambda vv, xx: wapply(vv, xx, train=False))(v, x)
+        rel = float(np.linalg.norm(np.asarray(lw) - np.asarray(lf))
+                    / (np.linalg.norm(np.asarray(lf)) + 1e-12))
+        assert rel < 0.05, (name, rel)
+
+
+def test_weight_only_vit_coverage_and_exclusion():
+    """dense=True weight-only covers the ViT trunk (48 Dense + patch-
+    embed conv) and keeps the logits Dense fp — same rule as calibrate."""
+    from moma_tpu.core.quantize import collect_quantizable
+
+    mv = create_model("vit_tiny_patch16_224", num_classes=10)
+    xv = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    vv = mv.init(jax.random.PRNGKey(0), xv, train=False)
+    layers = collect_quantizable(mv.apply, vv, xv, dense=True, n_cls=10,
+                                 train=False)
+    assert sum(1 for _, kind in layers if kind == "dense") == 48
+    assert len(layers) == 49  # + the patch-embed conv
+
+
+def test_weight_only_trained_top1():
+    """Weight-only top-1 on a trained resnet8: within 1 pt of fp and
+    >98% prediction agreement (tighter than the 2 pt / 95% full-int8
+    bars — no activation rounding)."""
+    from moma_tpu.core.quantize import weight_only_for_serving
+
+    model = create_model("resnet8", num_classes=4)
+    tx, ty = _make_task(256, seed=11)
+    vx, vy = _make_task(256, seed=12)
+    variables = model.init(jax.random.PRNGKey(0), tx[:2], train=False)
+    opt = optax.sgd(0.05, momentum=0.9)
+    opt_state = opt.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, xb, yb):
+        def loss_fn(p):
+            (feats, logits), mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, xb, train=True,
+                mutable=["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+            return loss, mut["batch_stats"]
+        (loss, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), bs, opt_state, loss
+
+    params, bstats = variables["params"], variables["batch_stats"]
+    for epoch in range(10):
+        for i in range(0, 256, 32):
+            params, bstats, opt_state, loss = step(
+                params, bstats, opt_state, tx[i:i + 32], ty[i:i + 32])
+    trained = {"params": params, "batch_stats": bstats}
+
+    _, lf = model.apply(trained, vx, train=False)
+    acc_fp = float((jnp.argmax(lf, -1) == vy).mean())
+    assert acc_fp > 0.6, f"training failed to learn (acc {acc_fp})"
+
+    wapply, _ = weight_only_for_serving(model.apply, trained, vx[:2],
+                                        train=False)
+    _, lw = jax.jit(lambda v, x: wapply(v, x, train=False))(trained, vx)
+    acc_w = float((jnp.argmax(lw, -1) == vy).mean())
+    agree = float((jnp.argmax(lw, -1) == jnp.argmax(lf, -1)).mean())
+    assert acc_w > acc_fp - 0.01, (acc_fp, acc_w)
+    assert agree > 0.98, agree
+
+
+def test_weight_only_artifact_small_and_barriered(tmp_path):
+    """The exported weight-only artifact (a) actually stores int8 kernel
+    constants — file < 0.5x the f32 artifact (f32 kernels would make it
+    EQUAL: DCE at trace is what removes them), and (b) keeps the
+    stablehlo optimization_barrier that stops the compiler folding the
+    dequant back into a full-width kernel."""
+    from moma_tpu.cli.export_model import main
+    from moma_tpu.core.export import ExportedClassifier
+    import os, json
+
+    out_fp = str(tmp_path / "fp")
+    main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+          "--out", out_fp])
+    out_w = str(tmp_path / "w8")
+    main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+          "--out", out_w, "--int8_weights", "--verify"])
+    sz_fp = os.path.getsize(out_fp + ".stablehlo")
+    sz_w = os.path.getsize(out_w + ".stablehlo")
+    assert sz_w < 0.5 * sz_fp, (sz_fp, sz_w)
+    with open(out_w + ".json") as f:
+        assert json.load(f)["quantized"] == "int8_weights"
+    clf = ExportedClassifier(out_w)
+    assert "optimization_barrier" in clf._exp.mlir_module()
+
+
+def test_cli_int8_weights_bf16_export(tmp_path):
+    """--int8_weights composes with --bf16 (the recommended serving
+    config): int8 kernels dequantize straight to bf16, activations bf16."""
+    from moma_tpu.cli.export_model import main
+
+    out = str(tmp_path / "w8b")
+    main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+          "--out", out, "--int8_weights", "--bf16", "--verify"])
+
+
+def test_cli_quant_mode_conflict(tmp_path):
+    from moma_tpu.cli.export_model import main
+
+    with pytest.raises(SystemExit):
+        main(["--model", "resnet8", "--n_cls", "10", "--image_size", "32",
+              "--out", str(tmp_path / "x"), "--int8", "--int8_weights"])
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
