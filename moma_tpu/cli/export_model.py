@@ -41,6 +41,20 @@ from moma_tpu.core.export import ExportedClassifier, export_classifier
 from moma_tpu.data import augment as aug
 from moma_tpu.models import create_model
 
+# benchmark-mode name -> export flags; the ONE copy shared by
+# scripts/bench_serving.py and scripts/analyze_serving.py so the
+# throughput benchmark and the trace analyzer can never measure
+# different artifact configs under the same mode name
+PRECISION_MODES = {
+    "f32": [],
+    "bf16": ["--bf16"],
+    "int8": ["--int8", "--calib_n", "2"],
+    "int8_bf16": ["--int8", "--calib_n", "2", "--bf16"],
+    "int8_dynamic": ["--int8_dynamic"],
+    "w8": ["--int8_weights"],
+    "w8_bf16": ["--int8_weights", "--bf16"],
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("moma_tpu export_model")
@@ -119,9 +133,14 @@ def main(argv=None):
     if a.int8_weights:
         from moma_tpu.core.quantize import weight_only_for_serving
 
+        # shape-only sample: eval_shape(norm) keeps the enumeration off
+        # the device (eager norm would cost relay RTTs on axon and fail
+        # outright when the relay is down — session-7 lesson)
+        sample = jax.eval_shape(
+            norm, jax.ShapeDtypeStruct(
+                (2, a.image_size, a.image_size, 3), jnp.uint8))
         apply_fn, n_layers = weight_only_for_serving(
-            model.apply, variables,
-            norm(jnp.zeros((2, a.image_size, a.image_size, 3), jnp.uint8)),
+            model.apply, variables, sample,
             dense=True, n_cls=n_cls, train=False)
         print(f"int8 weights-only: {n_layers} conv/dense kernels stored "
               f"int8 (per-channel scales), dequantized in-graph")

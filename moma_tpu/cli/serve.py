@@ -117,7 +117,7 @@ def main(argv=None):
     p.add_argument("--scoped_vmem_kib", type=int, default=None,
                    help="XLA:TPU scoped-VMEM budget for the serving jit "
                         "(default: the tuned 64MB, core/jitopt.py — "
-                        "measured -7% device time on the bf16 effiB0@512 "
+                        "measured -7%% device time on the bf16 effiB0@512 "
                         "forward; 0 = XLA default)")
     a = p.parse_args(argv)
 

@@ -136,6 +136,18 @@ def calibration_interceptor(stats: Dict[str, jax.Array],
     return interceptor
 
 
+def _logits_dense_key(order: list, dense: bool, n_cls: Optional[int]):
+    """The module path the final-logits exclusion rule keeps fp: the LAST
+    intercepted call is a Dense and (when n_cls is given) its width is
+    n_cls.  Shared by calibrate and collect_quantizable — ALL calls of
+    that module stay fp, including earlier ones of a tied/shared layer."""
+    if dense and order:
+        last_key, last_kind, last_feat = order[-1]
+        if last_kind == "dense" and (n_cls is None or last_feat == n_cls):
+            return last_key
+    return None
+
+
 def calibrate(
     apply_fn: Callable,
     variables: dict,
@@ -173,11 +185,22 @@ def calibrate(
     for x in batches:
         for k, v in jax.device_get(calib_fn(variables, x)).items():
             amax[k] = max(amax.get(k, 0.0), float(v))
-    if dense and order:
-        last_key, last_kind, last_feat = order[-1]
-        if last_kind == "dense" and (n_cls is None or last_feat == n_cls):
-            amax.pop(last_key, None)  # the logits layer stays fp
+    excl = _logits_dense_key(order, dense, n_cls)
+    if excl is not None:
+        amax.pop(excl, None)  # the logits layer stays fp
     return {k: max(v, 1e-6) / QMAX for k, v in amax.items()}
+
+
+def _kernel_int8(kernel, xp):
+    """Per-output-channel int8 kernel quantization — THE one copy of the
+    scale/round recipe, shared by the in-graph int8 paths (xp=jnp) and
+    the host-side weights-only bake (xp=np: axon dispatches every jnp op
+    through the relay, so artifact baking must stay off-device).
+    Returns (q_w int8, s_w f32 of shape (out,))."""
+    s_w = xp.max(xp.abs(kernel), axis=tuple(range(kernel.ndim - 1)))
+    s_w = xp.maximum(s_w, 1e-8) / QMAX  # (out,)
+    q_w = xp.clip(xp.round(kernel / s_w), -QMAX, QMAX).astype(xp.int8)
+    return q_w, s_w
 
 
 def _quantized_conv(mod: nn.Conv, x: jax.Array, s_x: float) -> jax.Array:
@@ -185,10 +208,7 @@ def _quantized_conv(mod: nn.Conv, x: jax.Array, s_x: float) -> jax.Array:
     kernel = jnp.asarray(params["kernel"], jnp.float32)  # (kh, kw, in/g, out)
     out_dtype = (mod.dtype or jnp.promote_types(x.dtype, params["kernel"].dtype))
 
-    # per-output-channel weight scales
-    s_w = jnp.max(jnp.abs(kernel), axis=tuple(range(kernel.ndim - 1)))
-    s_w = jnp.maximum(s_w, 1e-8) / QMAX  # (out,)
-    q_w = jnp.clip(jnp.round(kernel / s_w), -QMAX, QMAX).astype(jnp.int8)
+    q_w, s_w = _kernel_int8(kernel, jnp)
 
     q_x = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -QMAX, QMAX)
     q_x = q_x.astype(jnp.int8)
@@ -215,8 +235,7 @@ def _quantized_dense(mod: nn.Dense, x: jax.Array, s_x) -> jax.Array:
     kernel = jnp.asarray(params["kernel"], jnp.float32)  # (in, out)
     out_dtype = (mod.dtype or jnp.promote_types(x.dtype, params["kernel"].dtype))
 
-    s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-8) / QMAX  # (out,)
-    q_w = jnp.clip(jnp.round(kernel / s_w), -QMAX, QMAX).astype(jnp.int8)
+    q_w, s_w = _kernel_int8(kernel, jnp)
     q_x = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -QMAX, QMAX)
     q_x = q_x.astype(jnp.int8)
     y = jax.lax.dot_general(
@@ -329,13 +348,10 @@ def collect_quantizable(
         return 0
 
     jax.eval_shape(run, variables, sample)
-    if dense and order:
-        last_key, last_kind, last_feat = order[-1]
-        if last_kind == "dense" and (n_cls is None or last_feat == n_cls):
-            order = order[:-1]  # the logits layer stays fp
+    excl = _logits_dense_key(order, dense, n_cls)
     seen, layers = set(), []
     for key, kind, _ in order:
-        if key not in seen:
+        if key != excl and key not in seen:
             seen.add(key)
             layers.append((key, kind))
     return layers
@@ -360,9 +376,7 @@ def quantize_weights(variables: dict, layers: Sequence) -> dict:
     for key, _kind in layers:
         kern = _np.asarray(_params_node(variables, key)["kernel"],
                            _np.float32)
-        axes = tuple(range(kern.ndim - 1))
-        s = _np.maximum(_np.abs(kern).max(axis=axes), 1e-8) / QMAX  # (out,)
-        q = _np.clip(_np.round(kern / s), -QMAX, QMAX).astype(_np.int8)
+        q, s = _kernel_int8(kern, _np)
         qw[key] = (q, s.astype(_np.float32))
     return qw
 
@@ -375,7 +389,12 @@ def _weight_only_call(mod, x: jax.Array, q, s) -> jax.Array:
     XLA from constant-folding `q * s` back into a full-width kernel."""
     cdt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     q_const = jax.lax.optimization_barrier(jnp.asarray(q))
-    w = q_const.astype(cdt) * jnp.asarray(s, cdt)
+    # dequantize in f32 THEN cast: rounding the (f32) per-channel scale
+    # itself to bf16 first would bias every weight of a channel by the
+    # same factor (up to ~0.2%) — a systematic error that, unlike
+    # per-weight bf16 rounding, does not average out over fan-in
+    w = (q_const.astype(jnp.float32)
+         * jnp.asarray(s, jnp.float32)).astype(cdt)
     params = mod.variables["params"]
     if isinstance(mod, nn.Conv):
         y = jax.lax.conv_general_dilated(
@@ -391,7 +410,11 @@ def _weight_only_call(mod, x: jax.Array, q, s) -> jax.Array:
             x.astype(cdt), w, (((x.ndim - 1,), (0,)), ((), ())))
     if mod.use_bias:
         y = y + jnp.asarray(params["bias"], cdt)
-    out_dtype = mod.dtype or cdt
+    # same dtype=None fallback as flax / _quantized_conv (reading the f32
+    # kernel's .dtype is metadata only — it does not resurrect the DCE'd
+    # constant in the traced graph)
+    out_dtype = (mod.dtype
+                 or jnp.promote_types(x.dtype, params["kernel"].dtype))
     return y.astype(out_dtype)
 
 

@@ -45,15 +45,7 @@ MODEL = os.environ.get("SERV_MODEL", "effiB0")
 IMG = int(os.environ.get("SERV_IMG", "512"))
 ITERS = int(os.environ.get("SERV_ITERS", "20"))
 
-MODE_FLAGS = {
-    "f32": [],
-    "bf16": ["--bf16"],
-    "int8": ["--int8", "--calib_n", "2"],
-    "int8_bf16": ["--int8", "--calib_n", "2", "--bf16"],
-    "int8_dynamic": ["--int8_dynamic"],
-    "w8": ["--int8_weights"],
-    "w8_bf16": ["--int8_weights", "--bf16"],
-}
+from moma_tpu.cli.export_model import PRECISION_MODES as MODE_FLAGS  # noqa: E402
 
 
 def main():

@@ -2,8 +2,8 @@
 
 Measures the effiB0@512 eval forward through the FULL serving path the
 export CLI produces (uint8 -> normalize -> backbone -> f32 logits,
-StableHLO artifact reloaded via ExportedClassifier), for the three
-precision modes:
+StableHLO artifact reloaded via ExportedClassifier), for the precision
+modes (cli/export_model.py PRECISION_MODES):
 
   f32          plain export
   bf16         --bf16 (bf16 compute baked at export, logits f32)
@@ -81,23 +81,13 @@ def main(argv=None):
 
     results = {}
     with tempfile.TemporaryDirectory() as td:
+        from moma_tpu.cli.export_model import PRECISION_MODES
+
         for mode in a.modes.split(","):
             out = os.path.join(td, mode)
             args = ["--model", a.model, "--n_cls", "100",
                     "--image_size", str(a.image_size), "--dataset",
-                    "imagenet", "--out", out]
-            if mode == "bf16":
-                args.append("--bf16")
-            elif mode == "int8":
-                args += ["--int8", "--calib_n", "2"]
-            elif mode == "int8_dynamic":
-                args.append("--int8_dynamic")
-            elif mode == "int8_bf16":
-                args += ["--int8", "--calib_n", "2", "--bf16"]
-            elif mode == "w8":
-                args.append("--int8_weights")
-            elif mode == "w8_bf16":
-                args += ["--int8_weights", "--bf16"]
+                    "imagenet", "--out", out] + PRECISION_MODES[mode]
             try:
                 export_main(args)
                 clf = ExportedClassifier(out)
