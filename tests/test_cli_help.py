@@ -11,8 +11,8 @@ import sys
 
 import pytest
 
-CLIS = ["serve", "export_model", "train_teacher", "train_student",
-        "test_eval"]
+CLIS = ["serve", "export_model", "export_torch", "train_teacher",
+        "train_student", "test_eval"]
 
 
 @pytest.mark.parametrize("mod", CLIS)
