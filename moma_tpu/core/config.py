@@ -57,6 +57,12 @@ class DataConfig:
     aug_train: str = "RA"  # 'RA' | 'NULL'
     ra_config: str = "rand-n2-m10-mstd0.5"
     percent: float = 1.0  # subsample fraction (CRD sampling path)
+    # stratified k-fold cross-validation over the train+val pool — the
+    # reference's 5-fold loader capability (dataset/histo_dataset.py:848-
+    # 1035; its histo_list_v1 fold manifests module is absent upstream).
+    # -1 = off; 0..n_folds-1 selects the held-out validation fold.
+    fold_idx: int = -1
+    n_folds: int = 5
 
     @property
     def n_cls(self) -> int:
@@ -245,6 +251,16 @@ class Config:
             self.moma.nce_t = 0.15
         if self.data.eval_batch_size == 0:
             self.data.eval_batch_size = self.data.batch_size
+        if self.data.fold_idx >= 0:
+            if self.data.n_folds < 2:
+                raise ValueError(
+                    f"--n_folds must be >= 2 (got {self.data.n_folds})"
+                )
+            if self.data.fold_idx >= self.data.n_folds:
+                raise ValueError(
+                    f"--fold_idx {self.data.fold_idx} out of range for "
+                    f"--n_folds {self.data.n_folds}"
+                )
         return self
 
     @property
@@ -259,6 +275,8 @@ class Config:
             f"c{d.cls}_d{d.div}_b{d.beta}",
             f"trial{self.run.trial}",
         ]
+        if self.data.fold_idx >= 0:
+            parts.insert(-1, f"fold{self.data.fold_idx}of{self.data.n_folds}")
         if self.model_t is not None:
             parts.insert(1, f"T-{self.model_t.name}")
         return "_".join(parts)
@@ -299,6 +317,12 @@ def _add_common_flags(p: argparse.ArgumentParser):
     p.add_argument("--crop", type=float, default=0.2)
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--image_resize", action="store_true")
+    p.add_argument("--fold_idx", type=int, default=-1,
+                   help="stratified k-fold CV: validation fold index over "
+                        "the train+val pool (histo datasets; -1 = use the "
+                        "dataset's native splits)")
+    p.add_argument("--n_folds", type=int, default=5,
+                   help="number of folds for --fold_idx (reference: 5)")
     p.add_argument("--trial", type=str, default="0")
     p.add_argument("--save_dir", type=str, default="./save")
     p.add_argument("--skip_test", action="store_true")
@@ -395,6 +419,8 @@ def _cfg_from_common(a) -> Config:
         crop=a.crop,
         aug_train=a.aug_train,
         ra_config=a.ra_config,
+        fold_idx=a.fold_idx,
+        n_folds=a.n_folds,
     )
     cfg.optim = OptimConfig(
         learning_rate=a.learning_rate,

@@ -19,7 +19,11 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from moma_tpu.data.manifests import PREPARERS, TEST_ONLY_PREPARERS
+from moma_tpu.data.manifests import (
+    PREPARERS,
+    TEST_ONLY_PREPARERS,
+    stratified_kfold,
+)
 from moma_tpu.data.pipeline import ArrayDataset
 
 
@@ -121,6 +125,16 @@ def load_histo_dataset(data_cfg) -> Tuple[ArrayDataset, ArrayDataset, ArrayDatas
     if not train_pairs:
         raise FileNotFoundError(
             f"no files found for {name} under {data_cfg.data_dir}"
+        )
+    if getattr(data_cfg, "fold_idx", -1) >= 0:
+        # stratified k-fold CV over the train+val pool — the reference's
+        # 5-fold loader capability (dataset/histo_dataset.py:848-1035; its
+        # fold manifests come from the absent histo_list_v1 module).  The
+        # test split stays the dataset's native held-out set.  Same-fold
+        # runs resolve identical splits across processes (seeded RNG).
+        pool = train_pairs + val_pairs
+        train_pairs, val_pairs = stratified_kfold(
+            pool, data_cfg.fold_idx, data_cfg.n_folds
         )
     cache = PackedCache(os.path.join(data_cfg.data_dir, "_moma_pack"))
     size = data_cfg.image_size

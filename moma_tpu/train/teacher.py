@@ -32,6 +32,16 @@ from moma_tpu.train.steps import make_eval_step, make_vanilla_train_step
 
 def build_datasets(cfg: Config, synthetic: bool = False):
     d = cfg.data
+    if d.fold_idx >= 0 and (
+        synthetic or d.dataset in ("synthetic", "cifar100")
+    ):
+        # k-fold re-splits the manifest train+val pool (data/histo.py);
+        # synthetic/cifar have no manifests — accepting the flag there
+        # would silently train on the native splits under a fold name
+        raise ValueError(
+            f"--fold_idx applies to file-backed histo/imagefolder datasets, "
+            f"not '{d.dataset}'"
+        )
     if synthetic or d.dataset == "synthetic":
         n_cls = cfg.model_s.n_cls
         train = synthetic_dataset(

@@ -185,3 +185,70 @@ def test_loader_native_prefetch_matches_numpy(tmp_path):
     for b1, b2 in zip(l1, l2):
         np.testing.assert_array_equal(b1["image"], b2["image"])
         np.testing.assert_array_equal(b1["label"], b2["label"])
+
+
+def _mini_imagefolder(tmp_path, n_per_class=10, classes=("cat", "dog")):
+    from PIL import Image
+
+    rs = np.random.RandomState(7)
+    for cls in classes:
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(n_per_class):
+            arr = rs.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.png")
+    v = tmp_path / "val" / classes[0]
+    v.mkdir(parents=True)
+    Image.fromarray(rs.randint(0, 256, (8, 8, 3), np.uint8)).save(v / "v0.png")
+
+
+def test_load_histo_dataset_kfold(tmp_path):
+    """--fold_idx re-splits the train+val POOL via stratified k-fold
+    (the reference's 5-fold loader capability, histo_dataset.py:848-1035)
+    while the test split stays the dataset's native held-out set."""
+    from moma_tpu.core.config import DataConfig
+    from moma_tpu.data.histo import load_histo_dataset
+
+    _mini_imagefolder(tmp_path)
+    pool_n = 21  # 2x10 train + 1 val
+
+    seen_val_sizes = []
+    for fold in range(5):
+        cfg = DataConfig(dataset="imagefolder", data_dir=str(tmp_path),
+                         image_size=8, fold_idx=fold, n_folds=5)
+        train, val, test = load_histo_dataset(cfg)
+        assert len(train) + len(val) == pool_n
+        seen_val_sizes.append(len(val))
+        # the native test split is untouched by folding (imagefolder's
+        # test == its val dir: 1 file)
+        assert len(test) == 1
+    assert sum(seen_val_sizes) == pool_n  # folds partition the pool
+
+    # fold_idx=-1 keeps the native splits
+    cfg = DataConfig(dataset="imagefolder", data_dir=str(tmp_path),
+                     image_size=8)
+    train, val, test = load_histo_dataset(cfg)
+    assert len(train) == 20 and len(val) == 1
+
+
+def test_fold_flag_rejected_on_synthetic():
+    from moma_tpu.core.config import parse_teacher_args
+    from moma_tpu.train.teacher import build_datasets
+
+    cfg = parse_teacher_args(
+        ["--fold_idx", "2", "--dataset", "synthetic", "--n_cls", "4"]
+    )
+    assert cfg.data.fold_idx == 2 and cfg.data.n_folds == 5
+    with pytest.raises(ValueError, match="fold_idx"):
+        build_datasets(cfg, synthetic=True)
+
+
+def test_fold_flag_validation():
+    from moma_tpu.core.config import parse_teacher_args
+
+    with pytest.raises(ValueError, match="out of range"):
+        parse_teacher_args(["--fold_idx", "5", "--n_folds", "5"])
+    with pytest.raises(ValueError, match="n_folds"):
+        parse_teacher_args(["--fold_idx", "0", "--n_folds", "1"])
+    cfg = parse_teacher_args(["--fold_idx", "3"])
+    assert "fold3of5" in cfg.run_name
