@@ -189,7 +189,9 @@ class RunConfig:
     # mode at model_parallel > 1: 'tensor' = Megatron TP (models/vit_tp.py,
     # heads/MLP-hidden sharded, two all-reduces per block), 'pipeline' =
     # GPipe stages (models/vit_pp.py, depth/S blocks per chip, ppermute
-    # hops + a (S-1)/(T+S-1) bubble; no width divisibility needed).
+    # hops + a (S-1)/(T+S-1) bubble; no width divisibility needed),
+    # 'expert' = expert parallelism for MoE ViTs (models/vit_moe.py,
+    # E/M experts per chip, dispatch/combine einsums over ICI).
     teacher_parallel: str = "tensor"
     # GPipe microbatch count T for teacher_parallel='pipeline'
     # (0 = one per stage); per-device batch must divide by T.
@@ -355,10 +357,11 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "LayerNorms); requires --model_parallel > 1 and a "
                         "ViT teacher")
     p.add_argument("--teacher_parallel", type=str, default="tensor",
-                   choices=["tensor", "pipeline"],
+                   choices=["tensor", "pipeline", "expert"],
                    help="how the frozen ViT teacher uses the 'model' axis "
                         "at --model_parallel > 1: Megatron tensor "
-                        "parallelism (default) or GPipe pipeline stages")
+                        "parallelism (default), GPipe pipeline stages, or "
+                        "expert parallelism (MoE ViTs, vit_*_moe*)")
     p.add_argument("--pp_microbatch", type=int, default=0,
                    help="GPipe microbatch count for --teacher_parallel "
                         "pipeline (0 = one per stage)")

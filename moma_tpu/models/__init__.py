@@ -82,6 +82,12 @@ _REGISTRY: Dict[str, tuple] = {
     # vit_* factories here (weights come via torch_import/vit_npz instead)
     "vit_timm_base_patch16_224": ("moma_tpu.models.vit", "vit_base_patch16_224"),
     "vit_timm_tiny_patch16_224": ("moma_tpu.models.vit", "vit_tiny_patch16_224"),
+    # Mixture-of-Experts ViTs (models/vit_moe.py) — TPU-native scaling
+    # capability (no reference counterpart): top-k token-choice MoE MLPs,
+    # expert-parallel over the 'model' mesh axis via --teacher_parallel
+    # expert
+    "vit_tiny_moe_patch16_224": ("moma_tpu.models.vit_moe", "vit_tiny_moe_patch16_224"),
+    "vit_small_moe_patch16_224": ("moma_tpu.models.vit_moe", "vit_small_moe_patch16_224"),
 }
 
 

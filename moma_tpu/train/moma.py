@@ -1197,8 +1197,8 @@ def run_moma(cfg: Config, synthetic: bool = False):
             )
         if cfg.run.teacher_parallel != "tensor" and not cross_arch:
             raise ValueError(
-                "--teacher_parallel pipeline applies to the ViT KL-teacher "
-                "(cross-arch/EmaTec mode only)"
+                f"--teacher_parallel {cfg.run.teacher_parallel} applies to "
+                "the ViT KL-teacher (cross-arch/EmaTec mode only)"
             )
         mp = mesh.shape["model"]
         if cfg.moma.nce_k % mp != 0:
@@ -1228,7 +1228,32 @@ def run_moma(cfg: Config, synthetic: bool = False):
                 check_tp_teacher, is_tp_model, make_tp_vit_apply, tp_place,
             )
 
-            if cfg.run.teacher_parallel == "pipeline":
+            if cfg.run.teacher_parallel == "expert":
+                # expert parallelism (models/vit_moe.py): the MoE ViT
+                # KL-teacher's experts shard E/mp per chip; the dispatch/
+                # combine einsums become the cross-chip token exchange.
+                from moma_tpu.models.vit_moe import (
+                    check_ep_teacher, moe_place,
+                )
+
+                if cfg.run.sequence_parallel:
+                    raise ValueError(
+                        "--sequence_parallel applies to the TENSOR-parallel"
+                        " teacher; --teacher_parallel expert shards the MoE"
+                        " expert axis instead"
+                    )
+                check_ep_teacher(
+                    teacher, mesh,
+                    getattr(cfg.moma, "teacher_quant", "none"),
+                )
+                state = state.replace(
+                    teacher_params=moe_place(state.teacher_params, mesh),
+                    teacher_apply_fn=teacher.clone(ep_mesh=mesh).apply,
+                )
+                print(f"[moma] MoE ViT teacher expert-parallel over "
+                      f"'model'={mp}: {teacher.num_experts} experts -> "
+                      f"{teacher.num_experts // mp}/chip")
+            elif cfg.run.teacher_parallel == "pipeline":
                 # GPipe staging (models/vit_pp.py): depth/S blocks per
                 # chip, activations hop stage-to-stage over ppermute.
                 from moma_tpu.models.vit_pp import (
@@ -1292,7 +1317,8 @@ def run_moma(cfg: Config, synthetic: bool = False):
         raise ValueError("--sequence_parallel requires --model_parallel > 1")
     elif cfg.run.teacher_parallel != "tensor":
         raise ValueError(
-            "--teacher_parallel pipeline requires --model_parallel > 1")
+            f"--teacher_parallel {cfg.run.teacher_parallel} requires "
+            "--model_parallel > 1")
 
     train_aug, eval_norm = augment_fns(cfg)
     if cfg.moma.kl_teacher_bn == "exact":
