@@ -64,6 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "{model_path}/test_stat.json unless --out is given")
     p.add_argument("--num_workers", type=int, default=8,
                    help="loader gather threads (reference DataLoader knob)")
+    p.add_argument("--num_per_class", type=int, default=None,
+                   help="evaluate a per-class subset of N samples/class — "
+                        "the reference's viz loader "
+                        "(get_histo_dataloader_viz, histo_dataset.py:784-"
+                        "842); combine with --dump_attn")
+    p.add_argument("--dump_attn", type=str, default=None,
+                   help="directory for attention-map .npz dumps (one per "
+                        "MoMA run: atts_q/atts_k maps over one batch + "
+                        "atts_queue over the saved queue rows — the "
+                        "attn='self_viz' capability, "
+                        "criterion_moco_att.py:171-197)")
     p.add_argument("--scoped_vmem_kib", type=int, default=None,
                    help="XLA:TPU scoped-VMEM budget for the eval step "
                         "(default: the tuned 64MB, core/jitopt.py; 0 = "
@@ -118,6 +129,20 @@ def main(argv=None):
         def norm(images):
             return aug.normalize(images, aug.IMAGENET_MEAN, aug.IMAGENET_STD)
 
+    if a.num_per_class:
+        import numpy as np
+
+        from moma_tpu.data.manifests import viz_subset
+        from moma_tpu.data.pipeline import ArrayDataset
+
+        picked = viz_subset(
+            list(zip(range(len(test_ds)), test_ds.labels.tolist())),
+            per_class=a.num_per_class,
+        )
+        idx = np.asarray(sorted(i for i, _ in picked))
+        test_ds = ArrayDataset(test_ds.images[idx], test_ds.labels[idx])
+        print(f"[viz] per-class subset: {len(test_ds)} samples "
+              f"({a.num_per_class}/class)")
     loader = Loader(test_ds, a.batch_size, train=False,
                     num_workers=a.num_workers)
     model = create_model(a.model, num_classes=n_cls)
@@ -194,6 +219,17 @@ def main(argv=None):
             "n": stats["n"], "conf_mat": stats["conf_mat"],
         }
         print(f"{name}: acc {stats['acc']:.2f} f1 {stats['f1']:.4f}")
+        if a.dump_attn:
+            from moma_tpu.moma.viz import dump_attention_maps
+
+            # the run dir owning parameters.json is the ckpt's grandparent
+            # (ckpt_path = <run>/ckpt/<tag>), robust to the nested layout
+            owner = os.path.dirname(os.path.dirname(ckpt_path.rstrip("/")))
+            first = next(iter(loader))
+            dump_attention_maps(
+                ckpt_path, owner, norm(first["image"]), first["label"],
+                os.path.join(a.dump_attn, f"{name}_attn.npz"),
+            )
 
     with open(a.out, "w") as f:
         json.dump(results, f, indent=2)

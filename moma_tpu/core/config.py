@@ -120,21 +120,23 @@ class MomaConfig:
     alpha: float = 0.999  # EMA teacher momentum
     mem: str = "MoCo"  # MoCo | MoCoST | MoCoSSTT | MoCoAtt
     head: str = "mlp"  # None | linear | mlp | mlp_byol
-    attn: str = "self"  # self|self_mix|all|qk|dual|dual2|self_qk|self_qkv2|selfv2|none
+    attn: str = "self"  # see moma/cmo.py ATTN_SETS (self|self_viz|all|...)
     mode: str = "exact"  # CRD positive mode: exact | relax
     shuffle_bn: bool = True
     # BN mode of the teacher's KL-logits forward.  The reference's
     # set_bn_train(model_t) persists WITHIN an epoch (loops_moma.py:314-318)
     # but train_distill_moma resets model_t.eval() at the start of EVERY
     # epoch (:224-227), so its KL forward uses running stats on the first
-    # step of each epoch and batch stats from step 2 on.  'train'
-    # (default) reproduces the steps>=2 steady state — a one-step-per-
-    # epoch deviation, numerically negligible (see PARITY.md).  'eval'
-    # uses running stats every step (the reference's step-1 behavior,
-    # a cleaner fixed-scorer semantics).  'exact' reproduces the real
-    # schedule — eval on each epoch's first batch, train after — at the
-    # cost of a second compiled step program (train/moma.py run_moma).
-    kl_teacher_bn: str = "train"
+    # step of each epoch and batch stats from step 2 on.  'exact'
+    # (default since round 3) reproduces that real schedule — run_moma
+    # compiles a second step program for each epoch's first batch.  Its
+    # cost is measured, not assumed: the rest-of-epoch program is
+    # HLO-IDENTICAL to 'train' (zero steady-state cost; scripts/
+    # kl_exact_cost.py) and the extra compile amortizes through the
+    # persistent cache (BASELINE.md round 3).  'train' reproduces only
+    # the steps>=2 steady state, 'eval' only step-1 running stats — each
+    # a one-step-per-epoch deviation, numerically negligible (PARITY.md).
+    kl_teacher_bn: str = "exact"
     # opt-in deviation: reuse the momentum key forward's logits for the
     # KL term instead of a second teacher forward (~25% faster steps;
     # KL then sees post-EMA params + train-mode BN)
@@ -521,17 +523,23 @@ def student_parser() -> argparse.ArgumentParser:
         "--head", type=str, default="None",
         choices=["None", "linear", "mlp", "mlp_byol"],
     )
-    p.add_argument("--attn", type=str, default="self")
+    # choices= from the single source of truth: an unknown --attn must
+    # ERROR, not silently train a different model (the reference coerces
+    # unknowns to 'self', criterion_moco_att.py:335-338 — not reproduced)
+    from moma_tpu.moma.cmo import ATTN_SETS as _ATTN_SETS
+
+    p.add_argument("--attn", type=str, default="self",
+                   choices=sorted(_ATTN_SETS))
     p.add_argument("--no_shuffle_bn", action="store_true")
-    p.add_argument("--kl_teacher_bn", type=str, default="train",
+    p.add_argument("--kl_teacher_bn", type=str, default="exact",
                    choices=["train", "eval", "exact"],
-                   help="BN mode of the teacher's KL forward: 'train' = the "
-                        "reference's within-epoch steady state (set_bn_train "
-                        "persists until the per-epoch eval() reset), 'eval' = "
-                        "running stats (its first-step-of-each-epoch "
-                        "behavior), 'exact' = the reference's real schedule "
-                        "(eval on each epoch's first batch, train after; "
-                        "compiles two step programs)")
+                   help="BN mode of the teacher's KL forward: 'exact' "
+                        "(default) = the reference's real schedule (eval-BN "
+                        "on each epoch's first batch — the per-epoch "
+                        "model_t.eval() reset — train-BN after; two step "
+                        "programs, steady one HLO-identical to 'train'), "
+                        "'train' = steps>=2 steady state only, 'eval' = "
+                        "running stats every step")
     p.add_argument("--fast_teacher", action="store_true",
                    help="reuse the momentum key forward for KL logits "
                         "(1 teacher fwd instead of 2; documented deviation)")

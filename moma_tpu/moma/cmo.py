@@ -127,6 +127,16 @@ ATTN_SETS = {
     "self_qkv2": ("atts_q", "atts_k"),
     "selfv2": ("atts_q", "atts_k", "atts_queue"),
     "self": ("atts_q", "atts_k", "atts_queue"),
+    # the reference's visualization mode (criterion_moco_att.py:330-334):
+    # the SAME atts_q/atts_k/atts_queue module set as 'self' (identical
+    # parameter layout, so 'self'-trained checkpoints load directly) built
+    # from Attention_viz, which also returns the (H, N, N) attention map.
+    # Training: ours trains self_viz exactly as 'self'.  (The reference's
+    # train loop never applies self_viz modules — its `attn=='self'` guard
+    # skips them, leaving the viz heads untrained, and DDP crashes on the
+    # unused parameters; a latent defect we do not reproduce.)  Maps come
+    # from CMOHeads.attn_maps / test_eval --dump_attn.
+    "self_viz": ("atts_q", "atts_k", "atts_queue"),
     "none": (),
 }
 # modes built from Attention2 (residual+LN) rather than plain Attention
@@ -145,7 +155,14 @@ class CMOHeads:
     def __init__(self, head: str, attn: str, feat_dim: int, s_dim: int,
                  t_dim: int, dtype=None, include_ema: bool = False):
         self.head = head
-        self.attn = attn if attn in ATTN_SETS else "self"
+        if attn not in ATTN_SETS:
+            # no silent fallback: a typo here would train a DIFFERENT model
+            # than asked (the reference's own else-branch coerces unknowns
+            # to 'self', criterion_moco_att.py:335-338 — a trap, not a
+            # feature; same policy as resolve_pretrain's unknown-tag raise)
+            raise ValueError(
+                f"unknown attn mode {attn!r}; known: {sorted(ATTN_SETS)}")
+        self.attn = attn
         self.feat_dim = feat_dim
         self.dtype = dtype
         self.embed_s = ProjectionHead(head, feat_dim, dtype=dtype)
@@ -214,6 +231,30 @@ class CMOHeads:
             return fn
 
         return {name: make(name, mod) for name, mod in self.attn_modules.items()}
+
+    def attn_maps(self, params: dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
+        """Per-module (out, (H, N, N) attention map) — the Attention_viz
+        capability (criterion_moco_att.py:171-197, attn='self_viz').
+
+        `inputs` maps module name -> (N, C) tokens (e.g. atts_q: student
+        embeds, atts_k: key embeds, atts_queue: queue rows).  Dense-path
+        only (viz batches are small; the flash path cannot return maps) —
+        cap atts_queue inputs to a few hundred rows before calling.
+        Works for any plain-Attention mode ('self', 'self_viz', 'dual',
+        ...); Attention2 modes (residual+LN wrapper) expose no map.
+        """
+        out = {}
+        for name, mod in self.attn_modules.items():
+            if name not in inputs:
+                continue
+            if isinstance(mod, BatchTokenAttention2):
+                raise ValueError(
+                    f"attn mode {self.attn!r} uses Attention2 modules, "
+                    "which have no attention-map output")
+            y, amap = mod.apply({"params": params[name]}, inputs[name],
+                                return_attn=True)
+            out[name] = (y, amap)
+        return out
 
     def embed(self, which: str, params: dict, batch_stats: dict, x,
               train: bool = True):

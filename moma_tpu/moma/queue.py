@@ -203,6 +203,107 @@ def step_moco_sstt(
     return (*out, new_state)
 
 
+# ------------------------------------------- model-sharded queue variants
+#
+# Used by the bn='local'/'sync' shard_map step when --model_parallel > 1:
+# inside shard_map each device holds only its (K/mp, D) row block of the
+# bank, so the GSPMD path's automatic handling of sharded operands is
+# unavailable — the collectives are written out here.  Parity vs the
+# replicated bank: tests/test_moma_local_bn_mp.py.
+
+
+def _grad_psum(x: jax.Array, axis_name: str) -> jax.Array:
+    """Identity forward; pmean of the cotangent over `axis_name`.
+
+    Inside shard_map, per-rank reverse AD computes d(sum over ranks of the
+    per-rank loss)/d(per-rank input).  Our loss value is REPLICATED across
+    model ranks (every rank CEs the same all-gathered logits), so two
+    factors appear on the negative-logit path: all_gather's transpose is a
+    psum-scatter, handing rank r `mp * ct[block r]` (the identical
+    cotangents of all mp ranks summed), and rank r's local matmul then
+    yields `mp * partial_r` — each rank still missing the other shards'
+    contributions.  pmean over the axis = psum(mp * partial_r)/mp = the
+    full true dq, identically on every rank, while the (replicated)
+    positive/CE/KL paths contribute exactly once.  Megatron's
+    vocab-parallel cross-entropy solves the same problem with a
+    hand-written backward.  Pinned numerically by
+    tests/test_moma_local_bn_mp.py (trajectory + params vs the
+    replicated-bank oracle)."""
+
+    @jax.custom_vjp
+    def ident(v):
+        return v
+
+    def fwd(v):
+        return v, None
+
+    def bwd(_, g):
+        return (jax.lax.pmean(g, axis_name),)
+
+    ident.defvjp(fwd, bwd)
+    return ident(x)
+
+
+def sharded_queue_logits(q: jax.Array, k: jax.Array, mem_local: jax.Array,
+                         T: float, axis_name: str) -> jax.Array:
+    """queue_logits with the bank rows sharded over `axis_name`.
+
+    Per-element math is identical to the replicated version (each logit is
+    one dot over D; row-sharding never reorders it), so logit VALUES are
+    bit-identical; only dq's shard-sum order differs.  The all-gathered
+    (B, K) logits cost B*K*4 bytes — trivial next to activations — and
+    keep the CE on the standard replicated path."""
+    pos = jnp.sum(q * k, axis=1, keepdims=True)
+    neg_local = _grad_psum(q, axis_name) @ mem_local.T  # (B, K/mp)
+    neg = jax.lax.all_gather(neg_local, axis_name, axis=1, tiled=True)
+    return jnp.concatenate([pos, neg], axis=1) / T
+
+
+def sharded_queue_update(state: QueueState, new_keys: Dict[str, jax.Array],
+                         axis_name: str) -> QueueState:
+    """Circular write with the bank's rows sharded over `axis_name`.
+
+    Each rank owns global rows [r*Ksh, (r+1)*Ksh).  The write targets are
+    (ptr + arange(n)) mod K — per-row scatter would serialize on TPU, so
+    the update is a one-hot MXU contraction: W[j, i] = 1 iff local row j's
+    global id equals target i; delta = W @ keys; rows with no target keep
+    their value.  Targets are distinct (n <= K), so W has at most one 1
+    per row."""
+    n = next(iter(new_keys.values())).shape[0]
+    Ksh = state.K  # LOCAL rows inside shard_map
+    mp = jax.lax.psum(1, axis_name)
+    K = Ksh * mp
+    r = jax.lax.axis_index(axis_name)
+    rows_global = r * Ksh + jnp.arange(Ksh)            # (Ksh,)
+    targets = jnp.mod(state.ptr + jnp.arange(n), K)    # (n,), distinct
+    W = (rows_global[:, None] == targets[None, :])     # (Ksh, n) one-hot
+    written = jnp.any(W, axis=1, keepdims=True)        # (Ksh, 1)
+    mems = dict(state.memory)
+    for name, keys in new_keys.items():
+        keys = jax.lax.stop_gradient(
+            keys.astype(state.memory[name].dtype))
+        delta = W.astype(keys.dtype) @ keys            # (Ksh, D) on the MXU
+        mems[name] = jnp.where(written, delta, state.memory[name])
+    return state.replace(memory=mems, ptr=jnp.mod(state.ptr + n, K))
+
+
+def step_moco_sharded(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    all_k: Optional[jax.Array],
+    T: float,
+    axis_name: str,
+) -> Tuple[jax.Array, QueueState]:
+    """step_moco with the bank sharded over the model axis (shard_map)."""
+    k = jax.lax.stop_gradient(k)
+    mem_local = jax.lax.stop_gradient(state.memory["memory"])
+    logits = sharded_queue_logits(q, k, mem_local, T, axis_name)
+    all_k = k if all_k is None else all_k
+    new_state = sharded_queue_update(state, {"memory": all_k}, axis_name)
+    return logits, new_state
+
+
 def contrast_ce(logits: jax.Array) -> jax.Array:
     """CE over (K+1)-way contrast logits with the positive at column 0
     (contrast_trainer.py:189-205 + zeros labels)."""

@@ -57,7 +57,8 @@ import numpy as np
 from moma_tpu.core.checkpoint import CheckpointManager, StatsWriter
 from moma_tpu.core import jitopt
 from moma_tpu.core.config import Config
-from moma_tpu.core.mesh import DATA_AXIS, create_mesh, replicated_sharding
+from moma_tpu.core.mesh import (DATA_AXIS, MODEL_AXIS, create_mesh,
+                                replicated_sharding)
 from moma_tpu.core.schedules import lr_schedule
 from moma_tpu.data.pipeline import Loader
 from moma_tpu.losses import functional as F
@@ -68,6 +69,7 @@ from moma_tpu.moma.queue import (
     contrast_ce,
     step_moco,
     step_moco_att,
+    step_moco_sharded,
     step_moco_sstt,
     step_moco_st,
 )
@@ -178,7 +180,9 @@ def make_moma_train_step(
     alpha = cfg.moma.alpha
     nce_t = cfg.moma.nce_t
     mem = cfg.moma.mem
-    attn = cfg.moma.attn
+    # self_viz trains exactly as 'self' (same module set/params;
+    # the viz map is an eval-time output — cmo.py ATTN_SETS note)
+    attn = "self" if cfg.moma.attn == "self_viz" else cfg.moma.attn
     shuffle_bn = cfg.moma.shuffle_bn
     # fast_teacher reuses the momentum-ENCODER key forward's logits for
     # KL; in cross-arch mode the KL teacher is a DIFFERENT model than the
@@ -213,11 +217,12 @@ def make_moma_train_step(
     if kl_train_bn_override is not None:
         kl_train_bn = bool(kl_train_bn_override)
     elif kl_bn_mode == "exact":
-        raise ValueError(
-            "kl_teacher_bn='exact' needs two step builds — pass "
-            "kl_train_bn_override=False for the first-batch-of-epoch step "
-            "and True for the rest (run_moma does this)"
-        )
+        # 'exact' is an EPOCH-LOOP schedule (eval-BN on each epoch's
+        # first batch, train-BN after); a bare step has no epoch
+        # structure, so a direct build IS the steady-state program —
+        # HLO-identical to 'train' (scripts/kl_exact_cost.py).  run_moma
+        # builds both programs via kl_train_bn_override and dispatches.
+        kl_train_bn = True
     else:
         kl_train_bn = kl_bn_mode == "train"
 
@@ -254,6 +259,22 @@ def make_moma_train_step(
         raise ValueError("fused_teacher is a single-chip jit-path "
                          "optimization; use bn='global'")
     dist = _DataAxis() if bn_mode != "global" else _Replicated()
+    # bn='local'/'sync' x --model_parallel: the 2-D composition a real
+    # multi-chip deployment wants (reference-faithful per-device BN x the
+    # 'model'-sharded negative bank).  Inside shard_map the GSPMD path's
+    # automatic sharded-operand handling is gone, so the MoCo contrast
+    # runs the explicit-collective variants (queue.py step_moco_sharded).
+    queue_sharded = (
+        bn_mode != "global"
+        and mesh is not None
+        and mesh.shape.get(MODEL_AXIS, 1) > 1
+    )
+    if queue_sharded and mem != "MoCo":
+        raise ValueError(
+            f"bn='{bn_mode}' with model_parallel shards the bank via the "
+            "explicit-collective MoCo path; mem="
+            f"{mem!r} (dual banks / in-queue attention) is only wired for "
+            "the GSPMD path — use bn='global' with it")
 
     def step(state: MomaState, batch, rng):
         images = batch["image"]
@@ -556,9 +577,14 @@ def make_moma_train_step(
                     q_in = attn_fns["atts_q"](q_in)
                     k_in = attn_fns["atts_k"](k_in)
                     keys_in = attn_fns["atts_queue"](keys_in)
-                logits, new_queue = step_moco(
-                    state.queue, q_in, k_in, keys_in, nce_t
-                )
+                if queue_sharded:
+                    logits, new_queue = step_moco_sharded(
+                        state.queue, q_in, k_in, keys_in, nce_t, MODEL_AXIS
+                    )
+                else:
+                    logits, new_queue = step_moco(
+                        state.queue, q_in, k_in, keys_in, nce_t
+                    )
                 logits_list = [logits]
             # SSTT: mean CE over the 4 sets (each is a (K+1)-way contrast
             # with the positive at column 0); others: single-set CE
@@ -638,7 +664,8 @@ def make_moma_train_step(
 
     if bn_mode == "global":
         return jitopt.jit(step, donate_argnums=(0,) if donate else ())
-    return _shard_mapped_step(step, mesh, bn_mode, donate)
+    return _shard_mapped_step(step, mesh, bn_mode, donate,
+                              queue_sharded=queue_sharded)
 
 
 def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
@@ -675,7 +702,9 @@ def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
     alpha = cfg.moma.alpha
     nce_t = cfg.moma.nce_t
     mem = cfg.moma.mem
-    attn = cfg.moma.attn
+    # self_viz trains exactly as 'self' (same module set/params;
+    # the viz map is an eval-time output — cmo.py ATTN_SETS note)
+    attn = "self" if cfg.moma.attn == "self_viz" else cfg.moma.attn
     shuffle_bn = cfg.moma.shuffle_bn
     use_remat = bool(getattr(cfg.run, "remat", False))
     need_kt = cross_arch and mem in ("MoCoST", "MoCoSSTT")
@@ -1027,7 +1056,8 @@ def _make_moma_accum_step(cfg, heads, augment_fn, donate, cross_arch,
     return jitopt.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
+def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool,
+                       queue_sharded: bool = False):
     """Wrap the per-device step body in shard_map over the 'data' axis.
 
     The body computes on its local batch shard (per-device BN — one of
@@ -1035,6 +1065,12 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
     gathered inside, so every output is replicated (out_specs P()).
     bn='sync' additionally pmeans BN batch statistics over 'data' via the
     fused_bn default-axis-name context (active during tracing).
+
+    queue_sharded (--model_parallel > 1): the negative bank's rows ride
+    the 'model' axis — its leaves get P('model', None) in/out specs and
+    the body sees only the local (K/mp, D) block (queue.py's sharded
+    step does the explicit collectives); everything else stays
+    model-replicated.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1057,8 +1093,18 @@ def _shard_mapped_step(step, mesh, bn_mode: str, donate: bool):
             )
             for k, v in batch.items()
         }
-        f = shard_map_compat(body, mesh, in_specs=(P(), batch_specs, P()),
-                             out_specs=P())
+        state_specs = jax.tree_util.tree_map(lambda _: P(), state)
+        if queue_sharded:
+            state_specs = state_specs.replace(
+                queue=state_specs.queue.replace(
+                    memory={k: P(MODEL_AXIS, None)
+                            for k in state.queue.memory}
+                )
+            )
+        f = shard_map_compat(
+            body, mesh, in_specs=(state_specs, batch_specs, P()),
+            out_specs=(state_specs, P()),
+        )
         return f(state, batch, rng)
 
     return jitopt.jit(run, donate_argnums=(0,) if donate else ())
@@ -1186,10 +1232,27 @@ def run_moma(cfg: Config, synthetic: bool = False):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if cfg.run.bn != "global":
-            raise ValueError(
-                "model_parallel > 1 requires bn='global' (the shard_map "
-                "BN modes manage the mesh themselves)"
-            )
+            # round-3: bn='local'/'sync' x model_parallel IS supported for
+            # the standard same-arch MoCo path — the shard_map body runs
+            # the explicit-collective sharded-bank contrast
+            # (queue.py step_moco_sharded; parity:
+            # tests/test_moma_local_bn_mp.py).  The remaining exclusions
+            # are structural, not arbitrary:
+            if cross_arch:
+                raise ValueError(
+                    "bn='local'/'sync' with --model_parallel does not "
+                    "compose with the cross-arch TP/PP/EP teachers: those "
+                    "shard via GSPMD NamedSharding annotations, which "
+                    "cannot appear inside a shard_map body (per-device "
+                    "code).  Use bn='global' for cross-arch model-parallel "
+                    "runs.")
+            if cfg.moma.mem != "MoCo":
+                raise ValueError(
+                    f"bn='{cfg.run.bn}' with --model_parallel is wired for "
+                    "mem='MoCo' (the flagship config); the dual-bank / "
+                    "in-queue-attention variants would each need their own "
+                    "explicit-collective sharded step — use bn='global' "
+                    "with them.")
         if cfg.run.sequence_parallel and not cross_arch:
             raise ValueError(
                 "--sequence_parallel applies to the tensor-parallel ViT "

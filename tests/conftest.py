@@ -24,6 +24,39 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---- quick tier (`pytest -m quick`): a ~5-min smoke slice touching every
+# subsystem, for routine pre-commit checks on this 1-core host (the full
+# suite runs ~75 min).  Selection is by FILE — each file below is fast in
+# its entirety and covers one subsystem's surface.
+QUICK_FILES = {
+    "test_core.py",            # mesh/config/metrics/schedules
+    "test_queue.py",           # MoCo queue state machine
+    "test_moma.py",            # MoMA step wiring + variants
+    "test_cli_help.py",        # every CLI entry imports + parses
+    "test_losses_parity.py",   # KD loss zoo vs reference formulas
+    "test_models_contract.py", # backbone feature-list API
+    "test_data_pipeline.py",   # loaders/manifests/packed cache
+    "test_checkpoint_async.py",# orbax save/restore + async commit
+    "test_preempt.py",         # GracefulStop + resume
+    "test_tb_writer.py",       # TB event writer
+    "test_cmo_viz.py",         # attn modes + viz maps
+    "test_fused_bn.py",        # custom-VJP BN
+    "test_randaugment.py",     # device RA vs PIL goldens
+    "test_flash_attention.py", # streaming attention fwd/bwd
+    "test_graft_entry.py",     # driver hooks (entry + dryrun)
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast per-subsystem smoke slice (pytest -m quick)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def mesh8():

@@ -291,12 +291,37 @@ def test_exact_mode_steps_differ_on_first_batch(mesh8):
                                float(m_rest["loss_kd"]), rtol=1e-5)
 
 
-def test_exact_mode_requires_override():
-    from moma_tpu.core.config import Config, DistillConfig, MomaConfig
+def test_exact_default_and_bare_build_is_steady_state(mesh8):
+    """'exact' is the DEFAULT since round 3 (config dataclass + CLI), and
+    a BARE step build under it (no kl_train_bn_override — no epoch
+    structure exists for a lone step) is the steady-state train-BN
+    program: its losses match an explicit kl_train_bn_override=True
+    build bit-for-bit."""
+    from moma_tpu.core.config import Config, MomaConfig, student_parser
+
+    from tests.test_moma import _batch, _setup, B as TB, FEAT as TFEAT
+    from moma_tpu.models import create_model
+    from moma_tpu.moma.cmo import CMOHeads
+    from moma_tpu.train.distill import probe_shapes
     from moma_tpu.train.moma import make_moma_train_step
 
-    cfg = Config()
-    cfg.distill = DistillConfig(distill="moma")
-    cfg.moma = MomaConfig(kl_teacher_bn="exact")
-    with pytest.raises(ValueError, match="exact"):
-        make_moma_train_step(cfg, heads=None, augment_fn=None)
+    assert Config().moma.kl_teacher_bn == "exact"
+    assert MomaConfig().kl_teacher_bn == "exact"
+    a = student_parser().parse_args(["--distill", "moma"])
+    assert a.kl_teacher_bn == "exact"
+
+    cfg, state, _ = _setup(mesh8)
+    cfg.moma.kl_teacher_bn = "exact"
+    fs, _ = probe_shapes(create_model("resnet8", num_classes=10), 32, TB)
+    s_dim = fs[-1][-1]
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=TFEAT, s_dim=s_dim,
+                     t_dim=s_dim)
+    aug = lambda im, r: im.astype(jnp.float32) / 255.0
+    bare = make_moma_train_step(cfg, heads, augment_fn=aug, donate=False)
+    steady = make_moma_train_step(cfg, heads, augment_fn=aug, donate=False,
+                                  kl_train_bn_override=True)
+    batch = _batch(mesh8)
+    _, m_bare = bare(state, batch, jax.random.PRNGKey(0))
+    _, m_steady = steady(state, batch, jax.random.PRNGKey(0))
+    for k in ("loss", "loss_div", "loss_kd"):
+        assert float(m_bare[k]) == float(m_steady[k])

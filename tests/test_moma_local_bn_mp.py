@@ -1,0 +1,212 @@
+"""bn='local' x --model_parallel: the 2-D composition (VERDICT round-2
+missing #3).
+
+The reference-faithful BN semantics (per-device stats + Shuffle-BN —
+contrast_trainer.py:90-133) now composes with the 'model'-sharded
+negative bank: shard_map over the full ('data','model') mesh, queue rows
+P('model', None), explicit-collective contrast (queue.py
+step_moco_sharded: all-gathered (B, K) logits, _grad_psum for the full
+dq, one-hot MXU circular writes).
+
+Oracle: the SAME local-BN step on a data=2 mesh with the replicated
+bank.  Logit values are bit-identical by construction (row-sharding
+never reorders a single dot's contraction); only dq's shard-sum order
+can drift at f32 — hence rtol 2e-4 on post-step params, like
+test_moma_local_bn.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from moma_tpu.core.config import Config, DistillConfig, ModelConfig, MomaConfig
+from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
+from moma_tpu.models import create_model
+from moma_tpu.moma.cmo import CMOHeads
+from moma_tpu.moma.queue import QueueState
+from moma_tpu.train.moma import _teacher_apply, make_moma_train_step
+from moma_tpu.train.state import MomaState, make_sgd
+
+B, HW, N_CLS, FEAT, K, MP = 8, 16, 4, 32, 32, 4
+STEPS = 5  # 5*B = 40 > K: exercises the sharded circular wraparound
+
+
+def _cfg(bn="local"):
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.batch_size = B
+    cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0)
+    cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=0.15, alpha=0.999,
+                          mem="MoCo", head="mlp", attn="self",
+                          shuffle_bn=True, kl_teacher_bn="eval")
+    cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
+    cfg.model_t = ModelConfig(name="resnet8", n_cls=N_CLS)
+    cfg.run.bn = bn
+    return cfg
+
+
+def _state(mesh, model):
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, HW, HW, 3))
+    vars_s = model.init(jax.random.fold_in(rng, 0), sample, train=False)
+    vars_t = model.init(jax.random.fold_in(rng, 1), sample, train=False)
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=64,
+                     t_dim=64)
+    cmo_params, cmo_bs = heads.init(jax.random.fold_in(rng, 2))
+    queue = QueueState.create(jax.random.fold_in(rng, 3), K, FEAT)
+    tx = make_sgd(0.05, momentum=0.9, weight_decay=5e-4)
+    params = {"student": vars_s["params"], "cmo": cmo_params}
+    cfg = _cfg()
+    state = MomaState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats={"student": vars_s["batch_stats"], "cmo": cmo_bs},
+        teacher_params=vars_t["params"],
+        teacher_batch_stats=vars_t["batch_stats"],
+        queue=queue, opt_state=tx.init(params), tx=tx,
+        apply_fn=model.apply, teacher_apply_fn=_teacher_apply(cfg, model),
+    )
+    return jax.device_put(state, replicated_sharding(mesh)), heads
+
+
+def _batches():
+    rs = np.random.RandomState(42)
+    out = []
+    for i in range(STEPS):
+        out.append({
+            "image": rs.rand(B, HW, HW, 3).astype(np.float32),
+            "label": rs.randint(0, N_CLS, (B,)).astype(np.int32),
+            "shuffle_perm": rs.permutation(B).astype(np.int32),
+        })
+    return out
+
+
+def _run(mesh, sharded_queue):
+    model = create_model("resnet8", num_classes=N_CLS)
+    state, heads = _state(mesh, model)
+    if sharded_queue:
+        state = state.replace(queue=state.queue.replace(memory={
+            k: jax.device_put(v, NamedSharding(mesh, P("model", None)))
+            for k, v in state.queue.memory.items()
+        }))
+    step_fn = make_moma_train_step(_cfg(), heads, augment_fn=None,
+                                   donate=False, mesh=mesh)
+    losses = []
+    for i, b in enumerate(_batches()):
+        batch = {
+            "image": jax.device_put(b["image"], data_sharding(mesh)),
+            "label": jax.device_put(b["label"], data_sharding(mesh, ndim=1)),
+            "shuffle_perm": jax.device_put(
+                b["shuffle_perm"], replicated_sharding(mesh)),
+        }
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append({k: float(v) for k, v in metrics.items()})
+    return state, losses
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh_1d = create_mesh(jax.devices()[:2])           # data=2, model=1
+    mesh_2d = create_mesh(jax.devices(), model_parallel=MP)  # data=2, model=4
+    ref_state, ref_losses = _run(mesh_1d, sharded_queue=False)
+    got_state, got_losses = _run(mesh_2d, sharded_queue=True)
+    return ref_state, ref_losses, got_state, got_losses
+
+
+def test_first_step_losses_bit_near(both_runs):
+    _, ref_losses, _, got_losses = both_runs
+    # step-1 forward is identical math (params identical; logits are the
+    # same per-element dots) — only f32 noise admissible
+    for key in ("loss", "loss_cls", "loss_div", "loss_kd", "acc1"):
+        np.testing.assert_allclose(got_losses[0][key], ref_losses[0][key],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_loss_trajectory_matches(both_runs):
+    _, ref_losses, _, got_losses = both_runs
+    for i in range(STEPS):
+        np.testing.assert_allclose(got_losses[i]["loss"],
+                                   ref_losses[i]["loss"],
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_final_params_match(both_runs):
+    ref_state, _, got_state, _ = both_runs
+    flat_r = jax.tree_util.tree_leaves(ref_state.params)
+    flat_g = jax.tree_util.tree_leaves(got_state.params)
+    for a, b in zip(flat_g, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_queue_contents_and_ptr_match(both_runs):
+    ref_state, _, got_state, _ = both_runs
+    assert int(got_state.queue.ptr) == int(ref_state.queue.ptr) \
+        == (STEPS * B) % K
+    got_mem = np.asarray(got_state.queue.memory["memory"])  # gathers shards
+    ref_mem = np.asarray(ref_state.queue.memory["memory"])
+    assert got_mem.shape == (K, FEAT)
+    np.testing.assert_allclose(got_mem, ref_mem, rtol=2e-4, atol=2e-5)
+
+
+def test_queue_stays_model_sharded(both_runs):
+    _, _, got_state, _ = both_runs
+    sh = got_state.queue.memory["memory"].sharding
+    # trailing Nones may be trimmed from the spec; rows must ride 'model'
+    assert tuple(sh.spec)[:1] == ("model",)
+    shard_rows = {s.data.shape[0]
+                  for s in got_state.queue.memory["memory"].addressable_shards}
+    assert shard_rows == {K // MP}
+
+
+def test_ema_teacher_and_bn_stats_match(both_runs):
+    ref_state, _, got_state, _ = both_runs
+    for attr in ("teacher_params", "batch_stats"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(got_state, attr)),
+                        jax.tree_util.tree_leaves(getattr(ref_state, attr))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_dual_bank_mems_refuse_sharded_local_bn():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh_2d = create_mesh(jax.devices(), model_parallel=MP)
+    cfg = _cfg()
+    cfg.moma.mem = "MoCoST"
+    heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=64,
+                     t_dim=64)
+    with pytest.raises(ValueError, match="explicit-collective"):
+        make_moma_train_step(cfg, heads, augment_fn=None, donate=False,
+                             mesh=mesh_2d)
+
+
+def test_sync_bn_also_composes():
+    """bn='sync' (explicit per-BN pmean) under the same 2-D mesh: one
+    step runs and returns finite metrics with the bank sharded."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh_2d = create_mesh(jax.devices(), model_parallel=MP)
+    model = create_model("resnet8", num_classes=N_CLS)
+    state, heads = _state(mesh_2d, model)
+    state = state.replace(queue=state.queue.replace(memory={
+        k: jax.device_put(v, NamedSharding(mesh_2d, P("model", None)))
+        for k, v in state.queue.memory.items()
+    }))
+    cfg = _cfg("sync")
+    step_fn = make_moma_train_step(cfg, heads, augment_fn=None,
+                                   donate=False, mesh=mesh_2d)
+    b = _batches()[0]
+    batch = {
+        "image": jax.device_put(b["image"], data_sharding(mesh_2d)),
+        "label": jax.device_put(b["label"], data_sharding(mesh_2d, ndim=1)),
+        "shuffle_perm": jax.device_put(
+            b["shuffle_perm"], replicated_sharding(mesh_2d)),
+    }
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert tuple(new_state.queue.memory["memory"].sharding.spec)[:1] == (
+        "model",)
