@@ -190,7 +190,7 @@ def run_reference(train_x, train_y, val_x, val_y, epochs: int,
 
 
 def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int,
-             step_times=None):
+             step_times=None, bf16: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -216,8 +216,11 @@ def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int,
     cfg.model_s = ModelConfig(name="resnet8", n_cls=N_CLS)
     cfg.model_t = ModelConfig(name="resnet8", n_cls=N_CLS)
 
+    # bf16: the SHIPPED default precision (core/config.py half_precision
+    # -> model compute dtype bfloat16, f32 params) vs the reference's f32
+    dtype = jnp.bfloat16 if bf16 else None
     mesh = create_mesh(jax.devices()[:1])
-    model = create_model("resnet8", num_classes=N_CLS)
+    model = create_model("resnet8", num_classes=N_CLS, dtype=dtype)
     sample = jnp.zeros((2, HW, HW, 3))
     vars_s = model.init(jax.random.PRNGKey(0), sample, train=False)
     vars_t = model.init(jax.random.PRNGKey(1), sample, train=False)
@@ -232,7 +235,7 @@ def run_ours(snap, train_x, train_y, val_x, val_y, epochs: int,
         {kk: vv.numpy() for kk, vv in _torch_items(snap["model_t"])}, vars_t
     )
     heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=S_DIM,
-                     t_dim=S_DIM)
+                     t_dim=S_DIM, dtype=dtype)
     cmo_params0, cmo_bs = heads.init(jax.random.PRNGKey(2))
     conv_cmo = convert_state_dict(
         {kk: vv.numpy() for kk, vv in _torch_items(snap["cmo"])},
@@ -306,6 +309,10 @@ def main(argv=None):
     p.add_argument("--chaos_baseline", action="store_true",
                    help="also run the reference with a 1e-7 single-weight "
                         "nudge: its acc gap vs itself is the f32 chaos floor")
+    p.add_argument("--bf16", action="store_true",
+                   help="run OUR side under the shipped bf16 compute "
+                        "policy (the reference side stays f32, like the "
+                        "reference's default)")
     p.add_argument("--noise", type=float, default=0.6,
                    help="task difficulty: template/noise mix (0.75 = near-chance at 2 epochs; 0.6 = learnable)")
     a = p.parse_args(argv)
@@ -324,7 +331,7 @@ def main(argv=None):
             train_x, train_y, val_x, val_y, a.epochs, perturb=1e-7
         )
     got_curve, got_acc = run_ours(
-        snap, train_x, train_y, val_x, val_y, a.epochs
+        snap, train_x, train_y, val_x, val_y, a.epochs, bf16=a.bf16
     )
 
     rc = np.array(ref_curve)
@@ -334,6 +341,7 @@ def main(argv=None):
     corr = float(np.corrcoef(total_r, total_g)[0, 1])
     out = {
         "epochs": a.epochs,
+        "ours_precision": "bf16" if a.bf16 else "f32",
         "steps": len(ref_curve),
         "ref_val_acc": ref_acc,
         "ours_val_acc": got_acc,

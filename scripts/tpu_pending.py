@@ -172,6 +172,53 @@ def item_moma_attn_all():
         bench.bench_moma_histo(batch_size=128, mem="MoCoAtt", attn="all"), 1)}
 
 
+def item_r3_kl_exact_full():
+    """kl_teacher_bn='exact' real cost at the flagship size: the extra
+    eval-BN-KL program's compile wall-clock (cold + persistent-cache
+    warm) on the real chip.  Steady-state cost is ZERO by HLO identity
+    (scripts/kl_exact_cost.py part 1, CPU-provable)."""
+    from kl_exact_cost import main as kl_main
+    return kl_main(["--platform", "tpu", "--full_size"])
+
+
+def item_r3_bf16_convergence():
+    """Converged top-1 of the SHIPPED bf16 default vs f32, on the real
+    chip, with the f32 chaos floor alongside (VERDICT missing #1)."""
+    from bf16_accuracy import main as bf_main
+    return bf_main(["--platform", "tpu"])
+
+
+def item_r3_flash_tune_16640():
+    from tune_flash import main as tf_main
+    return tf_main(["--ns", "16640"])
+
+
+def item_r3_flash_tune_65792():
+    from tune_flash import main as tf_main
+    return tf_main(["--ns", "65792"])
+
+
+def item_r3_flash_tune_131328():
+    from tune_flash import main as tf_main
+    return tf_main(["--ns", "131328"])
+
+
+def item_r3_attn_all_k65536():
+    """SURVEY §5's scaled-K promise: MoCoAtt attn='all' TRAINING over
+    2B+K = 65792 tokens (4x the reference's ceiling-by-design)."""
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=65536,
+        steps=10, warmup=3), 1)}
+
+
+def item_r3_attn_all_k131072():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=131072,
+        steps=10, warmup=3), 1)}
+
+
 ITEMS = [
     ("moma_bs128", item_moma_bs128),
     ("moma_bs128_tq", item_moma_bs128_tq),
@@ -185,6 +232,13 @@ ITEMS = [
     ("moma_bs512_accum4", item_moma_bs512_accum4),
     ("moma_k65536", item_moma_k65536),
     ("moma_k262144", item_moma_k262144),
+    ("r3_kl_exact_full", item_r3_kl_exact_full),
+    ("r3_bf16_convergence", item_r3_bf16_convergence),
+    ("r3_flash_tune_16640", item_r3_flash_tune_16640),
+    ("r3_attn_all_k65536", item_r3_attn_all_k65536),
+    ("r3_flash_tune_65792", item_r3_flash_tune_65792),
+    ("r3_attn_all_k131072", item_r3_attn_all_k131072),
+    ("r3_flash_tune_131328", item_r3_flash_tune_131328),
 ]
 
 
