@@ -2,17 +2,28 @@
 
 The MoCoAtt 'all' mode attends over 2B+K tokens (mem_moco.py:124-126);
 with K=16384 the naive (H, N, N) score tensor is ~4 GB — impossible.
-This kernel computes softmax(QK^T)V with online (streaming) softmax over
-key blocks: O(N * block) memory, MXU matmuls per tile.
+This module provides:
 
-Layout: single sequence (the token axis IS the batch+queue), multi-head:
-    q, k, v: (H, N, d)  ->  out: (H, N, d)
+  flash_attention      Pallas forward: softmax(QK^T)V with online
+                       (streaming) softmax over key blocks, O(N*block)
+                       memory, MXU matmuls per tile.  Optionally masks a
+                       padded key tail (n_real), enabling LARGE key
+                       blocks for any N.
+  chunked_attention    pure-jnp lax.scan fallback with the same memory
+                       profile (CPU/tests/safety net).
+  streaming_attention  the DIFFERENTIABLE entry point (custom VJP).  On
+                       the Pallas route BOTH directions are Pallas: the
+                       forward also emits the (m, l) softmax stats, and
+                       the backward runs the standard two-kernel flash
+                       backward (dq streaming over keys; dk/dv streaming
+                       over queries) instead of round-1's XLA scans.
 
-Also exposes `chunked_attention`, a pure-jnp lax.scan fallback with the
-same memory profile, used on CPU (tests) and as a safety net, and
-`streaming_attention`, the DIFFERENTIABLE entry point (custom VJP with
-an exact flash-attention backward as streaming scans) that training
-code must use — raw pallas_call has no autodiff rule.
+Block sizes are MEASURED, not guessed (scripts/tune_flash.py on v5e,
+BASELINE.md round 3): at N=16640 the round-2 (bq=256, bk=256) forward
+ran 16.4 ms/call while (256, 4160) runs 5.6 ms — block_k wants to be as
+large as VMEM allows; the picker takes the largest sublane-aligned
+divisor of N in [1024, 4608] and falls back to padding the key axis to
+a 2048 multiple with in-kernel masking (exp(-inf)=0 contributions).
 """
 
 from __future__ import annotations
@@ -26,8 +37,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# bwd uses smaller key blocks than fwd: its per-tile live set (s, p, dp,
+# ds at f32) is ~4x the forward's, so cap block_k lower to stay inside
+# scoped VMEM.
+_FWD_BK_RANGE = (1024, 4608)
+_BWD_BK_RANGE = (512, 2304)
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+
+def _pick_bk(N: int, lo: int, hi: int):
+    """Largest sublane-aligned (x8) divisor of N in [lo, hi], else None."""
+    for bk in range(hi - hi % 8, lo - 1, -8):
+        if N % bk == 0:
+            return bk
+    return None
+
+
+def pick_blocks(N: int):
+    """(block_q, block_k_fwd, block_k_bwd, N_padded) for the Pallas route,
+    or None when N doesn't fit the route (odd token counts -> chunked)."""
+    if N % 256 == 0:
+        bq = 256
+    elif N % 128 == 0:
+        bq = 128
+    else:
+        return None
+    bk_f = _pick_bk(N, *_FWD_BK_RANGE)
+    bk_b = _pick_bk(N, *_BWD_BK_RANGE)
+    if bk_f is not None and bk_b is not None:
+        return bq, bk_f, bk_b, N
+    # no usable divisors (prime-ish N/256 — giant-K territory): pad the
+    # key axis; the kernels mask columns >= N
+    npad = -(-N // 2048) * 2048
+    return bq, 2048, 2048, npad
+
+
+def _mask_cols(s, kb, block_k, n_real):
+    """Mask score columns whose global key index exceeds the real count."""
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < n_real, s, NEG_INF)
+
+
+# ------------------------------------------------------------- forward
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref,
+                      acc_ref, m_ref, l_ref, *, block_k, n_real):
     """Grid (H, num_q_blocks, num_k_blocks); k innermost for streaming."""
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
@@ -38,10 +91,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (bq, d)
+    q = q_ref[0]  # (bq, d), pre-scaled
     k = k_ref[0]  # (bk, d)
     v = v_ref[0]  # (bk, d)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    if n_real is not None:
+        s = _mask_cols(s, kb, block_k, n_real)
 
     m_prev = m_ref[:]  # (bq, 1)
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -56,38 +111,176 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
     @pl.when(kb == nkb - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        m_out_ref[0] = m_ref[:]
+        l_out_ref[0] = l_ref[:]
 
 
-def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-    block_q: int = 256, block_k: int = 512,
-) -> jax.Array:
-    """softmax(scale * q @ k^T) @ v for (H, N, d) inputs, streaming over k.
-
-    N must be a multiple of the block sizes (pad upstream; the CMO caller
-    pads tokens with -inf masking unnecessary because every token is real).
-    """
+def _flash_forward(q, k, v, scale, block_q, block_k, n_real=None,
+                   interpret=False):
+    """Returns (o, m, l); k/v may be key-padded beyond q's N (mask via
+    n_real).  q is scaled here (input dtype, like round-1)."""
     H, N, d = q.shape
-    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+    Nk = k.shape[1]
+    assert N % block_q == 0 and Nk % block_k == 0, (N, Nk, block_q, block_k)
     q = q * scale
-    grid = (H, N // block_q, N // block_k)
-    return pl.pallas_call(
-        _flash_kernel,
+    grid = (H, N // block_q, Nk // block_k)
+    kern = functools.partial(_flash_fwd_kernel, block_k=block_k,
+                             n_real=n_real)
+    o, m, l = pl.pallas_call(
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, N, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, d), q.dtype),
+            jax.ShapeDtypeStruct((H, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, N, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(q, k, v)
+    return o, m, l
 
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    block_q: int = 256, block_k: int = 512, n_real=None, interpret=False,
+) -> jax.Array:
+    """softmax(scale * q @ k^T) @ v for (H, N, d) inputs, streaming over k.
+
+    N must be a multiple of the block sizes.  k/v may carry a padded key
+    tail (pass `n_real` = the true key count; padded columns are masked
+    to exp(-inf) = 0 inside the kernel)."""
+    o, _, _ = _flash_forward(q, k, v, scale, block_q, block_k,
+                             n_real=n_real, interpret=interpret)
+    return o
+
+
+# ------------------------------------------------------------ backward
+
+def _flash_dq_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
+                     dq_ref, acc_ref, *, block_k, n_real):
+    """dq = sum_j ds_ij @ k_j; grid (H, Ni, Nj), j innermost."""
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qs = qs_ref[0]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(qs.astype(jnp.float32), k.T,
+                preferred_element_type=jnp.float32)
+    if n_real is not None:
+        s = _mask_cols(s, kb, block_k, n_real)
+    p = jnp.exp(s - m_ref[0]) / l_ref[0]
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - dl_ref[0])
+    acc_ref[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nkb - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:]
+
+
+def _flash_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, n_real):
+    """dv = sum_i p_ij^T @ dO_i; dk = sum_i ds_ij^T @ qs_i.
+    Grid (H, Nj, Ni), i (queries) innermost."""
+    ib = pl.program_id(2)
+    nib = pl.num_programs(2)
+    kb = pl.program_id(1)
+
+    @pl.when(ib == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    qs = qs_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    if n_real is not None:
+        s = _mask_cols(s, kb, block_k, n_real)
+    p = jnp.exp(s - m_ref[0]) / l_ref[0]
+    # contract over the query axis without materialized transposes
+    dim_q = (((0,), (0,)), ((), ()))
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, dim_q, preferred_element_type=jnp.float32)   # (bk, d)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - dl_ref[0])
+    dk_acc[:] += jax.lax.dot_general(
+        ds, qs, dim_q, preferred_element_type=jnp.float32)  # (bk, d)
+
+    @pl.when(ib == nib - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
+
+
+def _flash_backward(q, k, v, o, m, l, g, scale, block_q, block_k,
+                    n_real=None, interpret=False):
+    """Exact flash backward as two Pallas kernels.  k/v (and the returned
+    dk/dv) may be key-padded; the caller slices."""
+    H, N, d = q.shape
+    Nk = k.shape[1]
+    qs = q * scale  # matches the forward's scaling point
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (H, N, 1)
+
+    row_spec = pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0))
+    key_spec = pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0))
+    stat_spec = pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0))
+    dqs = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=block_k, n_real=n_real),
+        grid=(H, N // block_q, Nk // block_k),
+        in_specs=[row_spec, key_spec, key_spec, row_spec,
+                  stat_spec, stat_spec, stat_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((H, N, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qs, k, v, g, m, l, delta)
+    dq = (dqs * scale).astype(q.dtype)
+
+    # dk/dv: key blocks outer, query blocks inner
+    row_spec2 = pl.BlockSpec((1, block_q, d), lambda h, j, i: (h, i, 0))
+    key_spec2 = pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0))
+    stat_spec2 = pl.BlockSpec((1, block_q, 1), lambda h, j, i: (h, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_k=block_k, n_real=n_real),
+        grid=(H, Nk // block_k, N // block_q),
+        in_specs=[row_spec2, key_spec2, key_spec2, row_spec2,
+                  stat_spec2, stat_spec2, stat_spec2],
+        out_specs=[key_spec2, key_spec2],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, Nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((H, Nk, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qs, k, v, g, m, l, delta)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------- chunked fallback
 
 def _chunk_kv(k: jax.Array, v: jax.Array, chunk: int):
     """Pad the key axis to a chunk multiple and split into scan slices."""
@@ -145,44 +338,77 @@ def chunked_attention(
     return o.astype(q.dtype)
 
 
+# ------------------------------------------------- differentiable entry
+
+def _pallas_route(N: int, use_pallas: bool):
+    return pick_blocks(N) if use_pallas else None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def streaming_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     use_pallas: bool = False, chunk: int = 1024,
 ) -> jax.Array:
-    """Differentiable streaming attention: flash/chunked forward + an
-    exact flash-attention BACKWARD written as streaming scans.
+    """Differentiable streaming attention.
 
     Neither raw forward is differentiable at scale: `pallas_call` has no
-    autodiff rule at all (so jax.grad through `flash_attention` raises —
-    the bug this wrapper fixes: MoCoAtt attn='all'/'dual' training over
-    2B+K tokens hits the Pallas path on TPU with gradients flowing into
-    q and the attention weights, mem_moco.py:110-161), and scan-autodiff
-    of `chunked_attention` saves every per-chunk (H, N, chunk)
-    probability tile — the full O(N^2) score matrix flash attention
-    exists to avoid.  The custom VJP recomputes each tile from the saved
-    (q, k, v) plus one cheap stats pass: O(N·chunk) memory both ways."""
-    N = q.shape[1]
-    if use_pallas and N % 256 == 0:
-        # block_k must also divide N: the MoCoAtt 'all' token count
-        # 2B+K is a 256-multiple but not always a 512-multiple
-        # (BS128 + K=16384 -> 16640 = 65*256)
-        return flash_attention(
-            q, k, v, scale, block_k=512 if N % 512 == 0 else 256
-        )
+    autodiff rule at all (jax.grad through `flash_attention` raises —
+    MoCoAtt attn='all'/'dual' training over 2B+K tokens hits the Pallas
+    path on TPU with gradients flowing into q and the attention weights,
+    mem_moco.py:110-161), and scan-autodiff of `chunked_attention` saves
+    every per-chunk (H, N, chunk) probability tile — the full O(N^2)
+    score matrix flash attention exists to avoid.  The custom VJP:
+    Pallas route = flash forward (saving its (m, l) stats) + the
+    two-kernel Pallas flash backward; chunked route = one cheap stats
+    pass + streaming scans.  O(N·block) memory both ways."""
+    route = _pallas_route(q.shape[1], use_pallas)
+    if route is not None:
+        bq, bk_f, _, npad = route
+        N = q.shape[1]
+        if npad != N:
+            k = jnp.pad(k, ((0, 0), (0, npad - N), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, npad - N), (0, 0)))
+        return flash_attention(q, k, v, scale, block_q=bq, block_k=bk_f,
+                               n_real=N if npad != N else None)
     return chunked_attention(q, k, v, scale, chunk)
 
 
 def _streaming_attention_fwd(q, k, v, scale, use_pallas, chunk):
-    return streaming_attention(q, k, v, scale, use_pallas, chunk), (q, k, v)
+    route = _pallas_route(q.shape[1], use_pallas)
+    if route is not None:
+        bq, bk_f, _, npad = route
+        N = q.shape[1]
+        kp, vp = k, v
+        if npad != N:
+            kp = jnp.pad(k, ((0, 0), (0, npad - N), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, npad - N), (0, 0)))
+        o, m, l = _flash_forward(q, kp, vp, scale, bq, bk_f,
+                                 n_real=N if npad != N else None)
+        return o, (q, k, v, o, m, l)
+    return streaming_attention(q, k, v, scale, use_pallas, chunk), (
+        q, k, v, None, None, None)
 
 
 def _streaming_attention_bwd(scale, use_pallas, chunk, res, g):
-    q, k, v = res
+    q, k, v, o, m, l = res
+    route = _pallas_route(q.shape[1], use_pallas)
+    if route is not None:
+        bq, _, bk_b, npad = route
+        N = q.shape[1]
+        kp, vp = k, v
+        if npad != N:
+            kp = jnp.pad(k, ((0, 0), (0, npad - N), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, npad - N), (0, 0)))
+        dq, dk, dv = _flash_backward(
+            q, kp, vp, o, m, l, g, scale, bq, bk_b,
+            n_real=N if npad != N else None,
+        )
+        return dq, dk[:, :N], dv[:, :N]
+
+    # chunked route: rebuild (o, m, l) with one cheap stats pass, then
+    # exact streaming backward as scans
     qs = q.astype(jnp.float32) * scale
     g32 = g.astype(jnp.float32)
-    # one streaming pass rebuilds (o, m, l); materializing nothing bigger
-    # than an (H, N, chunk) tile
     o, m, l = _forward_stats(qs, k, v, chunk)
     delta = jnp.sum(g32 * o, axis=-1, keepdims=True)  # (H, N, 1)
     kc, vc, valid = _chunk_kv(k, v, chunk)

@@ -219,6 +219,114 @@ def item_r3_attn_all_k131072():
         steps=10, warmup=3), 1)}
 
 
+def item_r3b_attn_grad_pallas():
+    """Grad parity of the NEW Pallas flash backward vs the chunked-scan
+    route on chip — the two routes no longer share a backward, so this
+    is a real numerical check (f32 in-kernel dots)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moma_tpu.ops.flash_attention import streaming_attention
+
+    out = {}
+    for N in (2560, 16640):
+        H, d = 4, 128
+        rs = np.random.RandomState(0)
+        q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+        k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+        v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+        w = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+
+        def make_loss(use_pallas):
+            def loss(q, k, v):
+                return jnp.sum(
+                    streaming_attention(q, k, v, d**-0.5, use_pallas) * w)
+            return loss
+
+        gp = jax.jit(jax.grad(make_loss(True), argnums=(0, 1, 2)))(q, k, v)
+        gc = jax.jit(jax.grad(make_loss(False), argnums=(0, 1, 2)))(q, k, v)
+        rel = [float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-9))
+               for a, b in zip(gp, gc)]
+        assert all(r < 5e-4 for r in rel), (N, rel)
+        out[f"N{N}_rel_l2_dq_dk_dv"] = [round(r, 8) for r in rel]
+    return out
+
+
+def item_r3b_flash_times():
+    """Wallclock of the tuned fwd and the NEW Pallas bwd vs round-2's
+    XLA-scan bwd, overlapped chains (was: fwd 16.4 ms @(256,256), bwd
+    ~50 ms at N=16640)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moma_tpu.ops.flash_attention import pick_blocks, streaming_attention
+
+    out = {"blocks": {}}
+    for N in (16640, 65792):
+        H, d = 4, 128
+        out["blocks"][str(N)] = pick_blocks(N)
+        rs = np.random.RandomState(0)
+        k = jnp.asarray(rs.randn(H, N, d), jnp.bfloat16)
+        v = jnp.asarray(rs.randn(H, N, d), jnp.bfloat16)
+        q0 = jnp.asarray(rs.randn(H, N, d), jnp.bfloat16)
+
+        fwd = jax.jit(lambda x: streaming_attention(x, k, v, d**-0.5, True))
+        o = fwd(q0); o.block_until_ready()
+        iters = 20 if N < 30000 else 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = fwd(o)
+        float(o[0, 0, 0].astype(np.float32))
+        out[f"fwd_N{N}_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+
+        def loss(x):
+            return jnp.sum(streaming_attention(
+                x, k, v, d**-0.5, True).astype(jnp.float32) ** 2)
+        g = jax.jit(lambda x: jax.grad(loss)(x).astype(jnp.bfloat16))
+        o = g(q0); o.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = g(o)
+        float(o[0, 0, 0].astype(np.float32))
+        out[f"grad_N{N}_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+    return out
+
+
+def item_r3b_attn_all_bs128():
+    """MoCoAtt attn='all' re-bench with the tuned fwd + Pallas bwd
+    (round-2: 412.2 img/s/chip)."""
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all"), 1)}
+
+
+def item_r3b_attn_all_k65536():
+    """(was 97.0 with the XLA-scan backward)"""
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=65536,
+        steps=10, warmup=3), 1)}
+
+
+def item_r3b_attn_all_k131072():
+    """(was 28.5 with the XLA-scan backward)"""
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=131072,
+        steps=6, warmup=2), 1)}
+
+
+def item_r3b_kl_exact_cost_full():
+    """Fresh-process HLO identity + cold/warm compile cost at full size
+    (the in-process version measured trace-counter artifacts)."""
+    from kl_exact_cost import main as kl_main
+    return kl_main(["--platform", "tpu", "--full_size"])
+
+
 ITEMS = [
     ("moma_bs128", item_moma_bs128),
     ("moma_bs128_tq", item_moma_bs128_tq),
@@ -239,6 +347,12 @@ ITEMS = [
     ("r3_flash_tune_65792", item_r3_flash_tune_65792),
     ("r3_attn_all_k131072", item_r3_attn_all_k131072),
     ("r3_flash_tune_131328", item_r3_flash_tune_131328),
+    ("r3b_attn_grad_pallas", item_r3b_attn_grad_pallas),
+    ("r3b_flash_times", item_r3b_flash_times),
+    ("r3b_attn_all_bs128", item_r3b_attn_all_bs128),
+    ("r3b_attn_all_k65536", item_r3b_attn_all_k65536),
+    ("r3b_attn_all_k131072", item_r3b_attn_all_k131072),
+    ("r3b_kl_exact_cost_full", item_r3b_kl_exact_cost_full),
 ]
 
 

@@ -154,16 +154,19 @@ def test_batch_token_big_is_differentiable():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("N,want_bk", [(16384, 512), (16640, 256), (17152, 256)])
-def test_streaming_pallas_block_k_divides_n(monkeypatch, N, want_bk):
-    """The Pallas route must pick a block_k that divides N: the MoCoAtt
-    'all' token count 2B+K is always a 256-multiple but NOT always a
-    512-multiple (BS128 + K=16384 -> 16640 = 65*256; caught on TPU)."""
+@pytest.mark.parametrize("N,want_bk", [(16384, 4096), (16640, 4160),
+                                       (17152, 4288), (65792, 4112),
+                                       (131328, 4104)])
+def test_streaming_pallas_block_k_picker(monkeypatch, N, want_bk):
+    """The Pallas route picks the LARGEST sublane-aligned divisor of N in
+    the measured-fast band [1024, 4608] (scripts/tune_flash.py on v5e:
+    (256, 4160) runs 2.9x faster than round-2's (256, 256) at N=16640);
+    block_q stays 256 and both must divide N."""
     import moma_tpu.ops.flash_attention as fa
 
     seen = {}
 
-    def fake_flash(q, k, v, scale, block_q=256, block_k=512):
+    def fake_flash(q, k, v, scale, block_q=256, block_k=512, **kw):
         seen["block_q"], seen["block_k"] = block_q, block_k
         return fa.chunked_attention(q, k, v, scale)
 
@@ -172,3 +175,102 @@ def test_streaming_pallas_block_k_divides_n(monkeypatch, N, want_bk):
     fa.streaming_attention(q, q, q, 1.0, True)
     assert seen["block_k"] == want_bk
     assert N % seen["block_q"] == 0 and N % seen["block_k"] == 0
+    assert seen["block_k"] % 8 == 0
+
+
+def test_pick_blocks_pads_primeish_n():
+    """No divisor in band (N/256 prime > 576): the picker pads the key
+    axis to a 2048 multiple; the kernels mask the tail in-kernel."""
+    from moma_tpu.ops.flash_attention import pick_blocks
+
+    N = 256 * 641  # 164096; 641 prime, 8*641 = 5128 > 4608
+    bq, bk_f, bk_b, npad = pick_blocks(N)
+    assert (bq, bk_f, bk_b) == (256, 2048, 2048)
+    assert npad % 2048 == 0 and npad >= N and npad - N < 2048
+
+
+# ---- round 3: Pallas forward/backward kernels on CPU via interpret mode
+
+def _dense_attn(q, k, v, scale):
+    s = jnp.einsum("hnd,hmd->hnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hnm,hmd->hnd", p, v.astype(jnp.float32))
+
+
+def test_flash_forward_interpret_matches_dense():
+    from moma_tpu.ops.flash_attention import _flash_forward
+
+    rs = np.random.RandomState(0)
+    H, N, d = 2, 64, 16
+    q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    o, m, l = _flash_forward(q, k, v, d**-0.5, block_q=16, block_k=16,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(o),
+                               np.asarray(_dense_attn(q, k, v, d**-0.5)),
+                               rtol=2e-5, atol=2e-5)
+    # stats consistency: l = sum exp(s - m) rowwise
+    s = jnp.einsum("hnd,hmd->hnm", q * d**-0.5, k)
+    np.testing.assert_allclose(np.asarray(m[..., 0]),
+                               np.asarray(jnp.max(s, -1)), rtol=1e-5)
+
+
+def test_flash_forward_interpret_padded_mask():
+    """Key-padding route: padded k/v columns must contribute exactly
+    nothing (in-kernel -inf mask), matching dense over the REAL keys."""
+    from moma_tpu.ops.flash_attention import _flash_forward
+
+    rs = np.random.RandomState(1)
+    H, N, d, NPAD = 2, 48, 16, 64
+    q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    kp = jnp.pad(k, ((0, 0), (0, NPAD - N), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, NPAD - N), (0, 0)))
+    o, _, _ = _flash_forward(q, kp, vp, d**-0.5, block_q=16, block_k=16,
+                             n_real=N, interpret=True)
+    np.testing.assert_allclose(np.asarray(o),
+                               np.asarray(_dense_attn(q, k, v, d**-0.5)),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pad", [False, True])
+def test_flash_backward_interpret_matches_autodiff(pad):
+    """The two-kernel Pallas flash backward == jax.grad of dense
+    attention, including the key-padded route."""
+    from moma_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+    rs = np.random.RandomState(2)
+    H, N, d = 2, 48, 16
+    NPAD = 64 if pad else 48
+    scale = d**-0.5
+    q = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    w = jnp.asarray(rs.randn(H, N, d).astype(np.float32))
+    kp = jnp.pad(k, ((0, 0), (0, NPAD - N), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, NPAD - N), (0, 0)))
+    n_real = N if pad else None
+
+    o, m, l = _flash_forward(q, kp, vp, scale, block_q=16, block_k=16,
+                             n_real=n_real, interpret=True)
+    g = w  # cotangent of sum(attn * w)
+    dq, dk, dv = _flash_backward(q, kp, vp, o, m, l, g, scale,
+                                 block_q=16, block_k=16, n_real=n_real,
+                                 interpret=True)
+
+    def loss(q, k, v):
+        return jnp.sum(_dense_attn(q, k, v, scale) * w)
+
+    wq, wk, wv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(wq),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk[:, :N]), np.asarray(wk),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv[:, :N]), np.asarray(wv),
+                               rtol=2e-4, atol=2e-5)
+    if pad:  # padded rows must receive zero gradient
+        assert float(jnp.abs(dk[:, N:]).max()) == 0.0
+        assert float(jnp.abs(dv[:, N:]).max()) == 0.0
