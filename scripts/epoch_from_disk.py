@@ -73,17 +73,25 @@ def stage_b_loader(ds, batch_size, epochs=2):
 
 
 def stage_c_upload(size, batch_size, iters=5):
-    """Relay/DMA upload rate for one training batch of uint8 pixels."""
+    """Relay/DMA upload rate for one training batch of uint8 pixels.
+
+    block_until_ready alone is NOT proof of arrival on the axon relay
+    (it acks before completion — CLAUDE.md; a naive version of this
+    stage measured a fictitious 669 MB/s).  Each transfer is forced by
+    fetching a VALUE computed from the whole device array."""
     import jax
+    import jax.numpy as jnp
 
     rs = np.random.RandomState(0)
     xs = [rs.randint(0, 256, (batch_size, size, size, 3), dtype=np.uint8)
           for _ in range(iters)]
-    # warm one transfer (connection setup)
-    jax.device_put(xs[0]).block_until_ready()
+    total = jax.jit(lambda a: jnp.sum(a, dtype=jnp.int64)
+                    if jax.config.jax_enable_x64
+                    else jnp.sum(a.astype(jnp.float32)))
+    float(total(jax.device_put(xs[0])))  # warm transfer + compile
     t0 = time.time()
     for x in xs:
-        jax.device_put(x).block_until_ready()
+        float(total(jax.device_put(x)))  # value fetch: the array ARRIVED
     dt = time.time() - t0
     mb = batch_size * size * size * 3 / 1e6
     return {"batch_MB": round(mb, 1), "s_per_batch": round(dt / iters, 3),

@@ -50,6 +50,8 @@ QUICK_FILES = {
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "quick: fast per-subsystem smoke slice (pytest -m quick)")
+    config.addinivalue_line(
+        "markers", "slow: multi-minute convergence/e2e tests")
 
 
 def pytest_collection_modifyitems(config, items):
