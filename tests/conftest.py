@@ -34,17 +34,16 @@ QUICK_FILES = {
     "test_moma.py",            # MoMA step wiring + variants
     "test_cli_help.py",        # every CLI entry imports + parses
     "test_losses_parity.py",   # KD loss zoo vs reference formulas
-    "test_models_contract.py", # backbone feature-list API
     "test_data_pipeline.py",   # loaders/manifests/packed cache
     "test_checkpoint_async.py",# orbax save/restore + async commit
     "test_preempt.py",         # GracefulStop + resume
     "test_tb_writer.py",       # TB event writer
     "test_cmo_viz.py",         # attn modes + viz maps
     "test_fused_bn.py",        # custom-VJP BN
-    "test_randaugment.py",     # device RA vs PIL goldens
-    "test_flash_attention.py", # streaming attention fwd/bwd
-    "test_graft_entry.py",     # driver hooks (entry + dryrun)
 }
+# deliberately NOT quick (measured): test_flash_attention (a 171 s
+# interpret-mode kernel test), test_graft_entry (132 s dryrun),
+# test_models_contract / test_randaugment (many-model / golden sweeps).
 
 
 def pytest_configure(config):

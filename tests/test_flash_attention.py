@@ -274,3 +274,27 @@ def test_flash_backward_interpret_matches_autodiff(pad):
     if pad:  # padded rows must receive zero gradient
         assert float(jnp.abs(dk[:, N:]).max()) == 0.0
         assert float(jnp.abs(dv[:, N:]).max()) == 0.0
+
+
+def test_flash_backward_bf16_dots_interpret():
+    """bf16-dot backward (MXU operands bf16, f32 accumulation) stays at
+    the bf16-noise scale vs the f32-dot kernels."""
+    from moma_tpu.ops.flash_attention import _flash_backward, _flash_forward
+
+    rs = np.random.RandomState(3)
+    H, N, d = 2, 64, 16
+    scale = d**-0.5
+    q = jnp.asarray(rs.randn(H, N, d)).astype(jnp.bfloat16)
+    k = jnp.asarray(rs.randn(H, N, d)).astype(jnp.bfloat16)
+    v = jnp.asarray(rs.randn(H, N, d)).astype(jnp.bfloat16)
+    g = jnp.asarray(rs.randn(H, N, d)).astype(jnp.bfloat16)
+    o, m, l = _flash_forward(q, k, v, scale, 16, 16, interpret=True)
+    f32 = _flash_backward(q, k, v, o, m, l, g, scale, 16, 16,
+                          interpret=True, bf16_dots=False)
+    b16 = _flash_backward(q, k, v, o, m, l, g, scale, 16, 16,
+                          interpret=True, bf16_dots=True)
+    for a, b in zip(b16, f32):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b, np.float32)
+        rel = np.linalg.norm(a32 - b32) / (np.linalg.norm(b32) + 1e-9)
+        assert rel < 0.05, rel

@@ -237,7 +237,16 @@ def test_run_moma_validates_model_parallel_combos(tmp_path):
     cfg.model_t = ModelConfig(name="resnet8", n_cls=4)
     with pytest.raises(ValueError, match="not divisible"):
         run_moma(cfg, synthetic=True)
+    # round 3: bn='local' x model_parallel is SUPPORTED for the standard
+    # MoCo path — a full runner epoch executes with the sharded bank
+    # (parity: tests/test_moma_local_bn_mp.py); dual-bank mems still
+    # raise with the design note.
     cfg.moma.nce_k = 64
     cfg.run.bn = "local"
+    cfg.data.eval_batch_size = 8  # the CLI's finalize() derivation
+    _, result = run_moma(cfg, synthetic=True)
+    assert result["best_acc"] >= 0.0
+    cfg.moma.mem = "MoCoST"
     with pytest.raises(ValueError, match="bn='global'"):
         run_moma(cfg, synthetic=True)
+    cfg.moma.mem = "MoCo"
