@@ -171,27 +171,36 @@ def flash_attention(
 # ------------------------------------------------------------ backward
 
 def _flash_dq_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
-                     dq_ref, acc_ref, *, block_k, n_real):
-    """dq = sum_j ds_ij @ k_j; grid (H, Ni, Nj), j innermost."""
+                     dq_ref, acc_ref, *, block_k, n_real, bf16_dots):
+    """dq = sum_j ds_ij @ k_j; grid (H, Ni, Nj), j innermost.
+
+    bf16_dots (DEFAULT): keep the MXU dot operands in the input dtype
+    (f32 accumulation, like the forward's p @ v).  Measured on chip:
+    BIT-IDENTICAL grads to the f32-cast variant on bf16 inputs — JAX's
+    default matmul precision rounds f32 MXU operands to bf16 anyway, so
+    the f32 casts only added VMEM copies (73.97 -> 16.26 ms/call at
+    N=16640, 4.5x) — BASELINE.md round 3."""
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
+    dot_t = (lambda a: a) if bf16_dots else (
+        lambda a: a.astype(jnp.float32))
 
     @pl.when(kb == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qs = qs_ref[0]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = jnp.dot(qs.astype(jnp.float32), k.T,
-                preferred_element_type=jnp.float32)
+    qs = dot_t(qs_ref[0])
+    k = dot_t(k_ref[0])
+    v = dot_t(v_ref[0])
+    do = dot_t(do_ref[0])
+    s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
     if n_real is not None:
         s = _mask_cols(s, kb, block_k, n_real)
     p = jnp.exp(s - m_ref[0]) / l_ref[0]
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     ds = p * (dp - dl_ref[0])
-    acc_ref[:] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
 
     @pl.when(kb == nkb - 1)
     def _finish():
@@ -199,22 +208,25 @@ def _flash_dq_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
 
 
 def _flash_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
-                      dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, n_real):
+                      dk_ref, dv_ref, dk_acc, dv_acc, *, block_k, n_real,
+                      bf16_dots):
     """dv = sum_i p_ij^T @ dO_i; dk = sum_i ds_ij^T @ qs_i.
     Grid (H, Nj, Ni), i (queries) innermost."""
     ib = pl.program_id(2)
     nib = pl.num_programs(2)
     kb = pl.program_id(1)
+    dot_t = (lambda a: a) if bf16_dots else (
+        lambda a: a.astype(jnp.float32))
 
     @pl.when(ib == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    qs = qs_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    qs = dot_t(qs_ref[0])
+    k = dot_t(k_ref[0])
+    v = dot_t(v_ref[0])
+    do = dot_t(do_ref[0])
     s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
     if n_real is not None:
         s = _mask_cols(s, kb, block_k, n_real)
@@ -222,11 +234,13 @@ def _flash_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
     # contract over the query axis without materialized transposes
     dim_q = (((0,), (0,)), ((), ()))
     dv_acc[:] += jax.lax.dot_general(
-        p, do, dim_q, preferred_element_type=jnp.float32)   # (bk, d)
+        p.astype(do.dtype), do, dim_q,
+        preferred_element_type=jnp.float32)                 # (bk, d)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     ds = p * (dp - dl_ref[0])
     dk_acc[:] += jax.lax.dot_general(
-        ds, qs, dim_q, preferred_element_type=jnp.float32)  # (bk, d)
+        ds.astype(qs.dtype), qs, dim_q,
+        preferred_element_type=jnp.float32)                 # (bk, d)
 
     @pl.when(ib == nib - 1)
     def _finish():
@@ -235,7 +249,7 @@ def _flash_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, m_ref, l_ref, dl_ref,
 
 
 def _flash_backward(q, k, v, o, m, l, g, scale, block_q, block_k,
-                    n_real=None, interpret=False):
+                    n_real=None, interpret=False, bf16_dots=True):
     """Exact flash backward as two Pallas kernels.  k/v (and the returned
     dk/dv) may be key-padded; the caller slices."""
     H, N, d = q.shape
@@ -248,7 +262,8 @@ def _flash_backward(q, k, v, o, m, l, g, scale, block_q, block_k,
     key_spec = pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0))
     stat_spec = pl.BlockSpec((1, block_q, 1), lambda h, i, j: (h, i, 0))
     dqs = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, block_k=block_k, n_real=n_real),
+        functools.partial(_flash_dq_kernel, block_k=block_k, n_real=n_real,
+                          bf16_dots=bf16_dots),
         grid=(H, N // block_q, Nk // block_k),
         in_specs=[row_spec, key_spec, key_spec, row_spec,
                   stat_spec, stat_spec, stat_spec],
@@ -264,7 +279,8 @@ def _flash_backward(q, k, v, o, m, l, g, scale, block_q, block_k,
     key_spec2 = pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0))
     stat_spec2 = pl.BlockSpec((1, block_q, 1), lambda h, j, i: (h, i, 0))
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, block_k=block_k, n_real=n_real),
+        functools.partial(_flash_dkv_kernel, block_k=block_k, n_real=n_real,
+                          bf16_dots=bf16_dots),
         grid=(H, Nk // block_k, N // block_q),
         in_specs=[row_spec2, key_spec2, key_spec2, row_spec2,
                   stat_spec2, stat_spec2, stat_spec2],
