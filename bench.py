@@ -277,6 +277,12 @@ def main():
               f"{ips_tq:.1f} img/s/chip ({ips_tq / ips:.3f}x the faithful "
               f"step)", file=sys.stderr)
     if run_all:
+        ips_attn = bench_moma_histo(batch_size=128, mem="MoCoAtt",
+                                    attn="all", steps=10, warmup=3)
+        print(f"[extra] MoCoAtt attn='all' (flash fwd + Pallas bwd over "
+              f"2B+K=16640 tokens): {ips_attn:.1f} img/s/chip "
+              f"({ips_attn / ips:.2f}x the no-attention headline)",
+              file=sys.stderr)
         cifar = bench_cifar()
         print(f"[extra] cifar resnet32x4 train: {cifar:.1f} img/s/chip "
               f"({cifar / ASSUMED_REF['cifar_resnet32x4_bs512']:.2f}x est. ref)",
