@@ -13,7 +13,12 @@ The reference publishes no numbers; vs_baseline uses the documented
 per-A100 estimate below until a measured reference lands.
 
 Extra benches (printed to stderr for the log, not the driver line):
-  --all : also run the CIFAR teacher-train throughput config.
+  --all : also run the side matrix — MoMA per-chip BS64, the int8
+          dynamic-quant teacher step, MoCoAtt attn='all' (flash
+          attention over 2B+K=16640 tokens), the CIFAR resnet32x4
+          teacher-train config, and the vanilla effiB0@512 teacher at
+          BS64/BS128.
+  --tq  : just the int8 teacher-quant extra.
 """
 
 from __future__ import annotations

@@ -304,6 +304,136 @@ def step_moco_sharded(
     return logits, new_state
 
 
+def step_moco_st_sharded(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    k_t: jax.Array,
+    all_k: Optional[jax.Array],
+    all_k_t: Optional[jax.Array],
+    T: float,
+    axis_name: str,
+) -> Tuple[jax.Array, jax.Array, QueueState]:
+    """step_moco_st with BOTH banks' rows sharded over the model axis.
+
+    Each logit set rides the same explicit-collective path as
+    step_moco_sharded (all-gathered (B, K/mp) logit blocks, _grad_psum
+    on each q use so every model rank reconstructs the full dq); the
+    dual circular writes are the one-hot MXU update per bank."""
+    k = jax.lax.stop_gradient(k)
+    k_t = jax.lax.stop_gradient(k_t)
+    mem_s = jax.lax.stop_gradient(state.memory["memory_s"])
+    mem_t = jax.lax.stop_gradient(state.memory["memory_t"])
+    logits_ss = sharded_queue_logits(q, k, mem_s, T, axis_name)
+    logits_st = sharded_queue_logits(q, k_t, mem_t, T, axis_name)
+    new_state = sharded_queue_update(
+        state,
+        {
+            "memory_s": k if all_k is None else all_k,
+            "memory_t": k_t if all_k_t is None else all_k_t,
+        },
+        axis_name,
+    )
+    return logits_ss, logits_st, new_state
+
+
+def step_moco_sstt_sharded(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    q_t: Optional[jax.Array],
+    k_t: jax.Array,
+    all_k: Optional[jax.Array],
+    all_k_t: Optional[jax.Array],
+    T: float,
+    axis_name: str,
+):
+    """step_moco_sstt (dual banks x dual queries) with sharded banks."""
+    k = jax.lax.stop_gradient(k)
+    k_t = jax.lax.stop_gradient(k_t)
+    mem_s = jax.lax.stop_gradient(state.memory["memory_s"])
+    mem_t = jax.lax.stop_gradient(state.memory["memory_t"])
+    out = [
+        sharded_queue_logits(q, k, mem_s, T, axis_name),
+        sharded_queue_logits(q, k_t, mem_t, T, axis_name),
+    ]
+    if q_t is not None:
+        out.append(sharded_queue_logits(q_t, k, mem_s, T, axis_name))
+        out.append(sharded_queue_logits(q_t, k_t, mem_t, T, axis_name))
+    new_state = sharded_queue_update(
+        state,
+        {
+            "memory_s": k if all_k is None else all_k,
+            "memory_t": k_t if all_k_t is None else all_k_t,
+        },
+        axis_name,
+    )
+    return (*out, new_state)
+
+
+def step_moco_att_sharded(
+    state: QueueState,
+    q: jax.Array,
+    k: jax.Array,
+    all_k: Optional[jax.Array],
+    T: float,
+    attn_mode: str,
+    attn_fns: Dict[str, Callable],
+    axis_name: str,
+) -> Tuple[jax.Array, QueueState]:
+    """step_moco_att with the bank's rows sharded over the model axis.
+
+    The attention modules mix rows, so the queue-consuming modes
+    ('all'/'dual'/the 'self' family's atts_queue) need the FULL bank: the
+    local (K/mp, D) rows are all-gathered over `axis_name` (K*D*4 bytes
+    — e.g. 32 MB at K=16384/D=512, trivial next to activations) and the
+    attention + logit math then runs REPLICATED across model ranks, so
+    per-rank gradients are already the true full gradients and no
+    _grad_psum is needed (the bank rows are stop_gradient'd — the gather
+    carries no cotangent).  The bank stays 'model'-sharded for storage
+    and for the circular write (one-hot MXU update).  'self_qk' /
+    'self_qkv2' read the bank untransformed — they ride the cheaper
+    sharded_queue_logits path — and 'dual2' never reads it at all."""
+    bsz = q.shape[0]
+    k = jax.lax.stop_gradient(k)
+    mem_local = jax.lax.stop_gradient(state.memory["memory"])
+    queue = None
+    if attn_mode not in ("self_qk", "self_qkv2", "dual2"):
+        queue = jax.lax.all_gather(mem_local, axis_name, axis=0, tiled=True)
+    if attn_mode == "all":
+        out = attn_fns["atts"](jnp.concatenate([q, k, queue], axis=0))
+        q, k, queue = out[:bsz], out[bsz : 2 * bsz], out[2 * bsz :]
+    elif attn_mode == "qk":
+        out = attn_fns["atts"](jnp.concatenate([q, k], axis=0))
+        q, k = out[:bsz], out[bsz:]
+    elif attn_mode == "dual":
+        out_p = attn_fns["atts_p"](jnp.concatenate([q, queue], axis=0))
+        q, queue = out_p[:bsz], out_p[bsz:]
+        out_n = attn_fns["atts_n"](jnp.concatenate([k, queue], axis=0))
+        k, queue = out_n[:bsz], out_n[bsz:]
+    elif attn_mode == "dual2":
+        q = attn_fns["atts_p"](jnp.concatenate([q, k], axis=0))[:bsz]
+        k = attn_fns["atts_n"](jnp.concatenate([k, q], axis=0))[:bsz]
+    elif attn_mode in ("self_qk", "self_qkv2"):
+        q = attn_fns["atts_q"](q)
+        k = attn_fns["atts_k"](k)
+    else:  # 'self' family
+        q = attn_fns["atts_q"](q)
+        k = attn_fns["atts_k"](k)
+        queue = attn_fns["atts_queue"](queue)
+
+    if attn_mode == "dual2":
+        logits = pos_logits(q, k, T)
+    elif attn_mode in ("self_qk", "self_qkv2"):
+        # bank read untransformed: the explicit-collective sharded path
+        logits = sharded_queue_logits(q, k, mem_local, T, axis_name)
+    else:
+        logits = queue_logits(q, k, queue, T)
+    all_k = k if all_k is None else all_k
+    new_state = sharded_queue_update(state, {"memory": all_k}, axis_name)
+    return logits, new_state
+
+
 def contrast_ce(logits: jax.Array) -> jax.Array:
     """CE over (K+1)-way contrast logits with the positive at column 0
     (contrast_trainer.py:189-205 + zeros labels)."""

@@ -79,7 +79,22 @@ def dump_attention_maps(ckpt_path: str, run_dir: str, images, labels,
          "batch_stats": restored.get("teacher_batch_stats", {})},
         images, train=False)
 
-    feat_dim = int(moma.get("feat_dim", 512))
+    # Derive feat_dim from the checkpoint itself (the qkv in-dim of any
+    # saved attention module) rather than trusting parameters.json — a
+    # hard-coded fallback would surface a feat_dim mismatch as a shape
+    # error deep inside apply (ADVICE r3).
+    feat_dim = None
+    for mod, sub in cmo_params.items():
+        if mod.startswith("atts") and "TorchLinear_0" in sub:
+            feat_dim = int(sub["TorchLinear_0"]["kernel"].shape[0])
+            break
+    if feat_dim is None:
+        if "feat_dim" not in moma:
+            print(f"[dump_attn] skip {run_dir}: checkpoint has no "
+                  "attention qkv kernels and parameters.json has no "
+                  "moma.feat_dim — cannot rebuild the CMO heads")
+            return None
+        feat_dim = int(moma["feat_dim"])
     heads = CMOHeads(head=moma.get("head", "mlp"), attn=attn,
                      feat_dim=feat_dim,
                      s_dim=feats_s[-1].reshape(feats_s[-1].shape[0], -1).shape[-1],

@@ -45,8 +45,13 @@ _BWD_BK_RANGE = (512, 2304)
 
 
 def _pick_bk(N: int, lo: int, hi: int):
-    """Largest sublane-aligned (x8) divisor of N in [lo, hi], else None."""
-    for bk in range(hi - hi % 8, lo - 1, -8):
+    """Largest x16-aligned divisor of N in [lo, hi], else None.
+
+    x16 (not x8): the bf16 min tile is (16, 128), so an 8-mod-16 block
+    (e.g. the old stride-8 pick 4104 at N=131328) is only legal for f32
+    inputs and risks Mosaic pad-copies/lowering failures on bf16.  x16
+    is sublane-aligned for both dtypes and barely narrows the band."""
+    for bk in range(hi - hi % 16, lo - 1, -16):
         if N % bk == 0:
             return bk
     return None
@@ -54,21 +59,31 @@ def _pick_bk(N: int, lo: int, hi: int):
 
 def pick_blocks(N: int):
     """(block_q, block_k_fwd, block_k_bwd, N_padded) for the Pallas route,
-    or None when N doesn't fit the route (odd token counts -> chunked)."""
+    or None when N doesn't fit the route (odd token counts -> chunked).
+
+    Joint search: the smallest key padding npad >= N (stepped by bq)
+    for which BOTH the forward and backward bands contain
+    a x16 divisor of npad.  npad == N (no padding) is the first candidate,
+    so exactly-divisible Ns keep their tuned zero-copy blocks; prime-ish
+    Ns (giant-K territory) pad by as little as one 256 stripe instead of
+    the old fixed pad-to-2048 with locked 2048/2048 blocks — e.g.
+    N=65792 (K=65536) pads 256 keys and runs (4128, 2064) instead of
+    falling back.  Padded columns are masked in-kernel (exp(-inf)=0)."""
     if N % 256 == 0:
         bq = 256
     elif N % 128 == 0:
         bq = 128
     else:
         return None
-    bk_f = _pick_bk(N, *_FWD_BK_RANGE)
-    bk_b = _pick_bk(N, *_BWD_BK_RANGE)
-    if bk_f is not None and bk_b is not None:
-        return bq, bk_f, bk_b, N
-    # no usable divisors (prime-ish N/256 — giant-K territory): pad the
-    # key axis; the kernels mask columns >= N
-    npad = -(-N // 2048) * 2048
-    return bq, 2048, 2048, npad
+    for npad in range(N, N + 16 * 2048 + 1, bq):
+        bk_f = _pick_bk(npad, *_FWD_BK_RANGE)
+        bk_b = _pick_bk(npad, *_BWD_BK_RANGE)
+        if bk_f is not None and bk_b is not None:
+            return bq, bk_f, bk_b, npad
+    # unreachable in practice (any 4096 multiple admits 4096/2048), but
+    # keep the old fixed fallback as a safety net
+    npad = -(-N // 4096) * 4096
+    return bq, 4096, 2048, npad
 
 
 def _mask_cols(s, kb, block_k, n_real):

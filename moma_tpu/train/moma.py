@@ -7,14 +7,16 @@ SURVEY.md §7 hard part 1):
 
   1. student fwd (train)                      -> feat_s, logit_s
   2. teacher fwd (PRE-EMA params)             -> feat_t, logit_t  [KL uses these]
-     BN mode per cfg.moma.kl_teacher_bn: 'train' (default) = the
-     reference's within-epoch steady state (set_bn_train persists until
-     the NEXT epoch's model_t.eval() reset, loops:224-227 — so its KL
-     forward uses batch stats from step 2 of each epoch on, and mutates
-     running stats before the key forward); 'eval' = running stats
-     (the reference's first-step-of-each-epoch behavior).  Neither mode
-     flips within an epoch: 'train' deviates from the reference on one
-     step per epoch (documented in PARITY.md, numerically negligible)
+     BN mode per cfg.moma.kl_teacher_bn: 'exact' (default) = the
+     reference's REAL schedule — eval-BN on each epoch's first batch
+     (the per-epoch model_t.eval() reset, loops:224-227), train-BN
+     after; run_moma builds both programs and dispatches per batch.
+     'train' = the within-epoch steady state only (set_bn_train
+     persists until the next epoch's reset — batch stats from step 2
+     of each epoch on, stats mutated before the key forward); 'eval' =
+     running stats always (the first-step-of-each-epoch behavior).
+     'train'/'eval' each deviate from the reference on one step per
+     epoch (documented in PARITY.md, numerically negligible)
   3. EMA: teacher <- alpha*teacher + (1-alpha)*student    (loops:310)
      and embed_t <- EMA(embed_s) when head=='mlp'         (loops:312-315)
   4. key forward through the POST-EMA teacher with BN in TRAIN mode
@@ -69,9 +71,12 @@ from moma_tpu.moma.queue import (
     contrast_ce,
     step_moco,
     step_moco_att,
+    step_moco_att_sharded,
     step_moco_sharded,
     step_moco_sstt,
+    step_moco_sstt_sharded,
     step_moco_st,
+    step_moco_st_sharded,
 )
 from moma_tpu.train.distill import probe_shapes
 from moma_tpu.train.loop import evaluate, train_one_epoch
@@ -222,6 +227,15 @@ def make_moma_train_step(
         # structure, so a direct build IS the steady-state program —
         # HLO-identical to 'train' (scripts/kl_exact_cost.py).  run_moma
         # builds both programs via kl_train_bn_override and dispatches.
+        # Callers driving their own epoch loop must do the same; warn
+        # once so a bare build is a visible choice, not a silent one.
+        import warnings
+        warnings.warn(
+            "kl_teacher_bn='exact' on a bare make_moma_train_step builds "
+            "the steady-state (train-BN) program only; the first-batch "
+            "eval-BN semantics needs a second build with "
+            "kl_train_bn_override=False dispatched on each epoch's first "
+            "batch (as run_moma does)", stacklevel=2)
         kl_train_bn = True
     else:
         kl_train_bn = kl_bn_mode == "train"
@@ -269,12 +283,12 @@ def make_moma_train_step(
         and mesh is not None
         and mesh.shape.get(MODEL_AXIS, 1) > 1
     )
-    if queue_sharded and mem != "MoCo":
-        raise ValueError(
-            f"bn='{bn_mode}' with model_parallel shards the bank via the "
-            "explicit-collective MoCo path; mem="
-            f"{mem!r} (dual banks / in-queue attention) is only wired for "
-            "the GSPMD path — use bn='global' with it")
+    # Every mem variant composes with the sharded bank (round 4): MoCo
+    # via step_moco_sharded, the dual banks via step_moco_{st,sstt}_
+    # sharded (both banks ride 'model'), and MoCoAtt via
+    # step_moco_att_sharded (queue-consuming attention modes all-gather
+    # the bank and run replicated; self_qk/self_qkv2/dual2 never need
+    # the full bank).  Parity: tests/test_moma_local_bn_mp{,_variants}.py.
 
     def step(state: MomaState, batch, rng):
         images = batch["image"]
@@ -290,14 +304,15 @@ def make_moma_train_step(
         labels = batch["label"]
 
         # ---- teacher KL forward FIRST (pre-EMA params, loops:268-272).
-        # kl_teacher_bn='train' (default) reproduces the reference's
-        # within-epoch steady state: set_bn_train(model_t) persists until
-        # the next epoch's model_t.eval() reset (loops:224-227,314-318),
-        # so its KL forward runs with batch statistics from step 2 of
-        # each epoch on, and its stats mutation lands BEFORE the key
-        # forward's.  'eval' = running stats (the reference's behavior on
-        # the FIRST step of each epoch).  One-step-per-epoch deviation
-        # either way; see PARITY.md.
+        # kl_train_bn=True reproduces the reference's within-epoch
+        # steady state: set_bn_train(model_t) persists until the next
+        # epoch's model_t.eval() reset (loops:224-227,314-318), so its
+        # KL forward runs with batch statistics from step 2 of each
+        # epoch on, and its stats mutation lands BEFORE the key
+        # forward's.  kl_train_bn=False = running stats (the reference's
+        # behavior on the FIRST step of each epoch).  The default
+        # kl_teacher_bn='exact' schedule dispatches between the two per
+        # batch (run_moma); see PARITY.md.
         # cross-arch: the FIXED teacher stays a frozen eval-mode scorer.
         teacher_bs_kl = state.teacher_batch_stats
         feat_t = logit_t = None
@@ -520,10 +535,16 @@ def make_moma_train_step(
             attn_fns = heads.attn_fns(params["cmo"])
             k_local, keys_for_queue = k_emb, all_k
             if mem == "MoCoAtt":
-                logits, new_queue = step_moco_att(
-                    state.queue, q, k_local, keys_for_queue, nce_t,
-                    attn, attn_fns,
-                )
+                if queue_sharded:
+                    logits, new_queue = step_moco_att_sharded(
+                        state.queue, q, k_local, keys_for_queue, nce_t,
+                        attn, attn_fns, MODEL_AXIS,
+                    )
+                else:
+                    logits, new_queue = step_moco_att(
+                        state.queue, q, k_local, keys_for_queue, nce_t,
+                        attn, attn_fns,
+                    )
                 logits_list = [logits]
             elif mem in ("MoCoST", "MoCoSSTT"):
                 # dual-bank variant: momentum-encoder keys fill memory_s;
@@ -552,19 +573,31 @@ def make_moma_train_step(
                     )
                     if attn == "self" and attn_fns:
                         qt_in = attn_fns["atts_q"](qt_in)
-                    logits_ss, logits_st, logits_ts, logits_tt, new_queue = (
-                        step_moco_sstt(
-                            state.queue, q_in, k_in, qt_in, kt_in,
-                            all_k_in, all_kt_in, nce_t,
-                        )
-                    )
+                    if queue_sharded:
+                        logits_ss, logits_st, logits_ts, logits_tt, \
+                            new_queue = step_moco_sstt_sharded(
+                                state.queue, q_in, k_in, qt_in, kt_in,
+                                all_k_in, all_kt_in, nce_t, MODEL_AXIS,
+                            )
+                    else:
+                        logits_ss, logits_st, logits_ts, logits_tt, \
+                            new_queue = step_moco_sstt(
+                                state.queue, q_in, k_in, qt_in, kt_in,
+                                all_k_in, all_kt_in, nce_t,
+                            )
                     logits = logits_ss
                     logits_list = [logits_ss, logits_st, logits_ts, logits_tt]
                 else:
-                    logits_ss, logits_st, new_queue = step_moco_st(
-                        state.queue, q_in, k_in, kt_in,
-                        all_k_in, all_kt_in, nce_t,
-                    )
+                    if queue_sharded:
+                        logits_ss, logits_st, new_queue = step_moco_st_sharded(
+                            state.queue, q_in, k_in, kt_in,
+                            all_k_in, all_kt_in, nce_t, MODEL_AXIS,
+                        )
+                    else:
+                        logits_ss, logits_st, new_queue = step_moco_st(
+                            state.queue, q_in, k_in, kt_in,
+                            all_k_in, all_kt_in, nce_t,
+                        )
                     # ST keeps round-1 semantics: loss on the first logit
                     # set (the loop's single-logits contract, loops:334)
                     logits = logits_ss

@@ -154,39 +154,49 @@ def test_batch_token_big_is_differentiable():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("N,want_bk", [(16384, 4096), (16640, 4160),
-                                       (17152, 4288), (65792, 4112),
-                                       (131328, 4104)])
-def test_streaming_pallas_block_k_picker(monkeypatch, N, want_bk):
-    """The Pallas route picks the LARGEST sublane-aligned divisor of N in
-    the measured-fast band [1024, 4608] (scripts/tune_flash.py on v5e:
-    (256, 4160) runs 2.9x faster than round-2's (256, 256) at N=16640);
-    block_q stays 256 and both must divide N."""
+@pytest.mark.parametrize("N,want_bk,want_npad", [
+    (16384, 4096, 16384), (16640, 4160, 16640), (17152, 4288, 17152),
+    # K=65536 (N=65792=2^8*257): no x16 divisor in band; the joint search
+    # pads ONE 256 stripe to 66048=2^9*3*43 and runs (4128, 2064)
+    (65792, 4128, 66048),
+    # K=131072: the old stride-8 pick was 4104 (8 mod 16 — illegal for
+    # the bf16 (16,128) min tile); x16 picks 3648 with zero padding
+    (131328, 3648, 131328)])
+def test_streaming_pallas_block_k_picker(monkeypatch, N, want_bk, want_npad):
+    """The Pallas route picks the LARGEST x16-aligned divisor in the
+    measured-fast band [1024, 4608] (scripts/tune_flash.py on v5e:
+    (256, 4160) runs 2.9x faster than round-2's (256, 256) at N=16640)
+    of the minimally-padded key count; block_q stays 256 and both must
+    divide the padded N."""
     import moma_tpu.ops.flash_attention as fa
 
     seen = {}
 
     def fake_flash(q, k, v, scale, block_q=256, block_k=512, **kw):
         seen["block_q"], seen["block_k"] = block_q, block_k
-        return fa.chunked_attention(q, k, v, scale)
+        seen["nk"] = k.shape[1]
+        return fa.chunked_attention(q, k[:, :N], v[:, :N], scale)
 
     monkeypatch.setattr(fa, "flash_attention", fake_flash)
     q = jnp.zeros((1, N, 8), jnp.float32)
     fa.streaming_attention(q, q, q, 1.0, True)
     assert seen["block_k"] == want_bk
-    assert N % seen["block_q"] == 0 and N % seen["block_k"] == 0
-    assert seen["block_k"] % 8 == 0
+    assert seen["nk"] == want_npad
+    assert want_npad % seen["block_q"] == 0 and want_npad % seen["block_k"] == 0
+    assert seen["block_k"] % 16 == 0  # bf16 min-tile safe (ADVICE r3)
 
 
 def test_pick_blocks_pads_primeish_n():
-    """No divisor in band (N/256 prime > 576): the picker pads the key
-    axis to a 2048 multiple; the kernels mask the tail in-kernel."""
+    """No divisor of N itself in band (N/256 prime > 576): the joint
+    search pads minimally — here one 256 stripe reaches 164352=2^9*3*107
+    with large x16 blocks; the kernels mask the tail in-kernel."""
     from moma_tpu.ops.flash_attention import pick_blocks
 
-    N = 256 * 641  # 164096; 641 prime, 8*641 = 5128 > 4608
+    N = 256 * 641  # 164096; 641 prime, 16*641 = 10256 > 4608
     bq, bk_f, bk_b, npad = pick_blocks(N)
-    assert (bq, bk_f, bk_b) == (256, 2048, 2048)
-    assert npad % 2048 == 0 and npad >= N and npad - N < 2048
+    assert (bq, bk_f, bk_b, npad) == (256, 3424, 1712, N + 256)
+    assert npad % bk_f == 0 and npad % bk_b == 0
+    assert bk_f % 16 == 0 and bk_b % 16 == 0
 
 
 # ---- round 3: Pallas forward/backward kernels on CPU via interpret mode

@@ -171,7 +171,9 @@ def test_ema_teacher_and_bn_stats_match(both_runs):
                                        rtol=2e-4, atol=2e-5)
 
 
-def test_dual_bank_mems_refuse_sharded_local_bn():
+def test_dual_bank_mems_build_sharded_local_bn():
+    """Round 4: dual-bank mems no longer refuse the sharded-bank path —
+    the build succeeds (trajectory parity: test_moma_local_bn_mp_variants)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
     mesh_2d = create_mesh(jax.devices(), model_parallel=MP)
@@ -179,9 +181,9 @@ def test_dual_bank_mems_refuse_sharded_local_bn():
     cfg.moma.mem = "MoCoST"
     heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=64,
                      t_dim=64)
-    with pytest.raises(ValueError, match="explicit-collective"):
-        make_moma_train_step(cfg, heads, augment_fn=None, donate=False,
-                             mesh=mesh_2d)
+    step = make_moma_train_step(cfg, heads, augment_fn=None, donate=False,
+                                mesh=mesh_2d)
+    assert callable(step)
 
 
 def test_sync_bn_also_composes():
