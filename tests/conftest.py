@@ -40,10 +40,13 @@ QUICK_FILES = {
     "test_tb_writer.py",       # TB event writer
     "test_cmo_viz.py",         # attn modes + viz maps
     "test_fused_bn.py",        # custom-VJP BN
+    "test_quick_smokes.py",    # flash/quantize/export/tp/pp/moe/native
 }
 # deliberately NOT quick (measured): test_flash_attention (a 171 s
 # interpret-mode kernel test), test_graft_entry (132 s dryrun),
 # test_models_contract / test_randaugment (many-model / golden sweeps).
+# Subsystems those files own are still smoke-covered in the quick tier
+# via test_quick_smokes.py (VERDICT r3 #6).
 
 
 def pytest_configure(config):
