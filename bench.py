@@ -84,7 +84,8 @@ def _time_steps(step_fn, state, batch, rng, steps, warmup, per_step_fetch=False)
 
 def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
                      teacher_quant="none", remat=False,
-                     mem="MoCo", attn="self", grad_accum=1, nce_k=16384):
+                     mem="MoCo", attn="self", grad_accum=1, nce_k=16384,
+                     stem_s2d=0):
     from moma_tpu.core.config import Config, DistillConfig, MomaConfig
     from moma_tpu.core.mesh import create_mesh, data_sharding, replicated_sharding
     from moma_tpu.core.schedules import lr_schedule
@@ -109,7 +110,8 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     cfg.model_s.n_cls = 4
 
     mesh = create_mesh()
-    model = create_model("effiB0", num_classes=4, dtype=jnp.bfloat16)
+    model = create_model("effiB0", num_classes=4, dtype=jnp.bfloat16,
+                         stem_s2d=stem_s2d)
     rng = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     sample = jnp.zeros((2, image_size, image_size, 3), jnp.bfloat16)

@@ -89,6 +89,78 @@ def drop_connect(x: jax.Array, rng: jax.Array, rate: float) -> jax.Array:
     return x / keep * mask.astype(x.dtype)
 
 
+class _StemConv(nn.Module):
+    """Space-to-depth folded stem conv (layout probe, VERDICT r3 #8).
+
+    Mathematically the SAME op as the standard stem (3x3 stride-2 SAME
+    conv on (H, W, 3)) — the parameter stays the original (3,3,3,C)
+    `kernel` (checkpoint/converter compatible) and is folded at trace
+    time into an equivalent 2x2 stride-1 conv on the space-to-depth
+    packed input:
+
+      s2d=2: (H/2, W/2, 12) -> 2x2 s1 -> (H/2, W/2, C)
+      s2d=4: (H/4, W/4, 48) -> 2x2 s1 -> (H/4, W/4, 4C) -> depth-to-space
+
+    Rationale: C=3 and C=32 tensors sit in lane-padded / batch-minor
+    layouts on TPU (BASELINE.md layout lore); packing spatial into
+    channels moves the stem's operands toward full 128-lane tiles.
+    Opt-in via EfficientNet(stem_s2d=...); output is bit-near (same
+    dot contractions reassociated).
+    """
+
+    features: int
+    s2d: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", conv_kernel_init,
+                            (3, 3, x.shape[-1], self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        f, c_in, co = self.s2d, x.shape[-1], self.features
+        b, h, w = x.shape[0], x.shape[1] // f, x.shape[2] // f
+        # pack (dy, dx, c) onto channels
+        xs = x.reshape(b, h, f, w, f, c_in).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, h, w, f * f * c_in)
+        if f == 2:
+            # Wf[KY,KX,(dy,dx,c),o] = W[2KY+dy, 2KX+dx, c, o] (zeros past 3)
+            wp = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            wf = wp.reshape(2, 2, 2, 2, c_in, co).transpose(0, 2, 1, 3, 4, 5)
+            wf = wf.reshape(2, 2, 4 * c_in, co)
+            y = jax.lax.conv_general_dilated(
+                xs, wf, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y
+        assert f == 4
+        # output (qy,qx,o) per packed pixel: ky = 4KY+dy-2qy must be in
+        # [0,3) — build the folded kernel by gathering with a zero guard
+        wf = jnp.zeros((2, 2, 16 * c_in, 4 * co), kernel.dtype)
+        for ky_blk in range(2):          # KY
+            for dy in range(4):
+                for kx_blk in range(2):  # KX
+                    for dx in range(4):
+                        for qy in range(2):
+                            for qx in range(2):
+                                ky = 4 * ky_blk + dy - 2 * qy
+                                kx = 4 * kx_blk + dx - 2 * qx
+                                if 0 <= ky < 3 and 0 <= kx < 3:
+                                    wf = wf.at[
+                                        ky_blk, kx_blk,
+                                        (dy * 4 + dx) * c_in:
+                                        (dy * 4 + dx + 1) * c_in,
+                                        (qy * 2 + qx) * co:
+                                        (qy * 2 + qx + 1) * co,
+                                    ].set(kernel[ky, kx])
+        y = jax.lax.conv_general_dilated(
+            xs, wf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # depth-to-space (qy, qx, o) -> spatial
+        y = y.reshape(b, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * w, co)
+
+
 class _BN(nn.Module):
     dtype: Any = None
 
@@ -165,6 +237,9 @@ class EfficientNet(nn.Module):
     num_classes: int = 1000
     drop_connect_rate: float = 0.2
     dtype: Any = None
+    # layout probe (VERDICT r3 #8): 0 = standard stem; 2/4 = space-to-
+    # depth folded stem (see _StemConv).  Same math, same param tree.
+    stem_s2d: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -181,9 +256,15 @@ class EfficientNet(nn.Module):
         total_blocks = sum(b.num_repeat for b in blocks)
 
         stem_ch = round_filters(32, width)
-        x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, kernel_init=conv_kernel_init,
-                    dtype=self.dtype)(x)
+        if self.stem_s2d:
+            # explicit name keeps the param path identical to the
+            # auto-named nn.Conv of the standard stem
+            x = _StemConv(stem_ch, self.stem_s2d, dtype=self.dtype,
+                          name="Conv_0")(x)
+        else:
+            x = nn.Conv(stem_ch, (3, 3), strides=(2, 2), padding="SAME",
+                        use_bias=False, kernel_init=conv_kernel_init,
+                        dtype=self.dtype, name="Conv_0")(x)
         x = _BN(self.dtype)(x, train)
         x = nn.silu(x)
 
@@ -214,7 +295,8 @@ class EfficientNet(nn.Module):
 
         head_ch = round_filters(1280, width)
         x = nn.Conv(head_ch, (1, 1), use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype)(x)
+                    kernel_init=conv_kernel_init, dtype=self.dtype,
+                    name="Conv_1")(x)
         x = _BN(self.dtype)(x, train)
         x = nn.silu(x)
         endpoints.append(x)

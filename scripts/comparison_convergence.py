@@ -69,7 +69,7 @@ def _ref_setup():
     return torch
 
 
-def pretrain_teacher(train_x, train_y, epochs=TEACHER_EPOCHS):
+def pretrain_teacher(train_x, train_y, val_x, val_y, epochs=TEACHER_EPOCHS):
     """Vanilla CE teacher (resnet32x4) on the task — reference side."""
     torch = _ref_setup()
     import torch.nn as nn
@@ -91,6 +91,15 @@ def pretrain_teacher(train_x, train_y, epochs=TEACHER_EPOCHS):
             loss = ce(model_t(x), y)
             opt.zero_grad(); loss.backward(); opt.step()
     model_t.eval()
+    correct = 0
+    with torch.no_grad():
+        for i in range(0, len(val_y), 50):
+            x = torch.from_numpy(np.transpose(
+                val_x[i:i + 50], (0, 3, 1, 2))).contiguous()
+            correct += int((model_t(x).argmax(1).numpy()
+                            == val_y[i:i + 50]).sum())
+    print(f"[teacher] val acc {100.0 * correct / len(val_y):.2f} "
+          f"({epochs} epochs)", flush=True)
     return model_t
 
 
@@ -347,6 +356,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--methods", type=str, default="crd,simkd,semckd")
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--teacher_epochs", type=int, default=TEACHER_EPOCHS)
     p.add_argument("--train_n", type=int, default=512)
     p.add_argument("--val_n", type=int, default=500)
     p.add_argument("--noise", type=float, default=0.3)
@@ -359,8 +369,9 @@ def main(argv=None):
     val_x, val_y = make_task(a.val_n, seed=2, noise=a.noise)
 
     print(f"[comparison_convergence] pretraining resnet32x4 teacher "
-          f"({TEACHER_EPOCHS} epochs)...", flush=True)
-    teacher = pretrain_teacher(train_x, train_y)
+          f"({a.teacher_epochs} epochs)...", flush=True)
+    teacher = pretrain_teacher(train_x, train_y, val_x, val_y,
+                               epochs=a.teacher_epochs)
 
     out = {}
     chaos_set = set(a.chaos.split(",")) if a.chaos else set()

@@ -327,6 +327,75 @@ def item_r3b_kl_exact_cost_full():
     return kl_main(["--platform", "tpu", "--full_size"])
 
 
+def item_r4_flagship_bf16():
+    """Flagship-scale convergence: the SHIPPED bf16 default at the
+    canonical config (effiB0@512, global BS128, K=16384, mlp/self,
+    full RA, exact-BN) — VERDICT r3 next #1."""
+    from flagship_accuracy import main as fa_main
+    return fa_main(["--runs", "bf16", "--json", "/tmp/flagship_bf16.json"])
+
+
+def item_r4_flagship_f32():
+    from flagship_accuracy import main as fa_main
+    return fa_main(["--runs", "f32", "--json", "/tmp/flagship_f32.json"])
+
+
+def item_r4_flagship_chaos():
+    from flagship_accuracy import main as fa_main
+    return fa_main(["--runs", "chaos", "--json", "/tmp/flagship_chaos.json"])
+
+
+def item_r4_flash_bigN_65792():
+    """Tuned key-padded flash blocks at N=65792 + analytic floors
+    (VERDICT r3 next #4)."""
+    from tune_flash_bigN import main as tf_main
+    return tf_main(["--ns", "65792", "--iters", "6"])
+
+
+def item_r4_flash_bigN_131328():
+    from tune_flash_bigN import main as tf_main
+    return tf_main(["--ns", "131328", "--iters", "4"])
+
+
+def item_r4_flash_bigN_16640():
+    """Floor check for the headline-adjacent N (the one tuned in r3)."""
+    from tune_flash_bigN import main as tf_main
+    return tf_main(["--ns", "16640", "--iters", "10"])
+
+
+def item_r4_attn_all_k65536():
+    """Re-bench the scaled-K rows after the x16/min-pad picker redesign
+    (r3 rows to supersede: 234.5 / 89.1)."""
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=65536,
+        steps=10, warmup=3), 1)}
+
+
+def item_r4_attn_all_k131072():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all", nce_k=131072,
+        steps=6, warmup=2), 1)}
+
+
+def item_r4_attn_all_bs128():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(
+        batch_size=128, mem="MoCoAtt", attn="all"), 1)}
+
+
+def item_r4_stem_s2d():
+    """Space-to-depth folded-stem layout probe (VERDICT r3 next #8)."""
+    from probe_stem_s2d import main as ps_main
+    return ps_main(["--json", "/tmp/stem_s2d.json"])
+
+
+def item_r4_headline():
+    import bench
+    return {"img_per_s_chip": round(bench.bench_moma_histo(batch_size=128), 1)}
+
+
 ITEMS = [
     ("moma_bs128", item_moma_bs128),
     ("moma_bs128_tq", item_moma_bs128_tq),
@@ -353,6 +422,17 @@ ITEMS = [
     ("r3b_attn_all_k65536", item_r3b_attn_all_k65536),
     ("r3b_attn_all_k131072", item_r3b_attn_all_k131072),
     ("r3b_kl_exact_cost_full", item_r3b_kl_exact_cost_full),
+    ("r4_flagship_bf16", item_r4_flagship_bf16),
+    ("r4_flagship_f32", item_r4_flagship_f32),
+    ("r4_flagship_chaos", item_r4_flagship_chaos),
+    ("r4_flash_bigN_16640", item_r4_flash_bigN_16640),
+    ("r4_flash_bigN_65792", item_r4_flash_bigN_65792),
+    ("r4_flash_bigN_131328", item_r4_flash_bigN_131328),
+    ("r4_attn_all_bs128", item_r4_attn_all_bs128),
+    ("r4_attn_all_k65536", item_r4_attn_all_k65536),
+    ("r4_attn_all_k131072", item_r4_attn_all_k131072),
+    ("r4_stem_s2d", item_r4_stem_s2d),
+    ("r4_headline", item_r4_headline),
 ]
 
 

@@ -147,3 +147,25 @@ def test_native_batcher_smoke(tmp_path):
     b = NativeBatcher(path, n, shape)
     idx = np.asarray([3, 0, 15, 7])
     np.testing.assert_array_equal(b.gather(idx), data[idx])
+
+
+def test_stem_s2d_exact():
+    """Space-to-depth folded stem (layout probe, VERDICT r3 #8): same
+    param tree as the standard stem, same math (folded 2x2 s1 conv;
+    models/efficientnet.py:_StemConv) at both packing factors."""
+    from moma_tpu.models.efficientnet import EfficientNet
+
+    m0 = EfficientNet(variant="b0", num_classes=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    t0 = jax.tree_util.tree_structure(v)
+    f0, l0 = m0.apply(v, x, train=False)
+    for s2d in (2, 4):
+        m = EfficientNet(variant="b0", num_classes=4, stem_s2d=s2d)
+        assert jax.tree_util.tree_structure(
+            m.init(jax.random.PRNGKey(0), x, train=False)) == t0
+        f, l = m.apply(v, x, train=False)
+        assert float(jnp.linalg.norm(l - l0) /
+                     (jnp.linalg.norm(l0) + 1e-9)) < 1e-5
+        assert float(jnp.linalg.norm(f[0] - f0[0]) /
+                     (jnp.linalg.norm(f0[0]) + 1e-9)) < 1e-5
