@@ -15,6 +15,24 @@ three ways on the real chip:
   chaos  f32 with a 1e-7 nudge on ONE weight — the f32 trajectory-chaos
          floor that makes any bf16-vs-f32 gap interpretable
 
+PRETRAINED TRUNKS (r4): the reference never trains effiB0 from scratch
+— run_moma.sh loads --std_pre/--tec_pre PANDA checkpoints into both
+nets — so this harness first pretrains ONE effiB0 on the task (vanilla
+CE, aug NULL; the pretrain protocol is ours, as PANDA pretraining was
+the reference's own prior pipeline), caches the weights, and starts
+every leg from them: teacher = full pretrained, student = pretrained
+trunk + fresh classifier (the strict=False classifier-popping semantics
+of helper/util.py:156-159).  This also puts the measured legs at stable
+convergence, where parity claims are meaningful (CLAUDE.md chaos lore).
+
+TASK DESIGN (r4, measured): see make_task — the old fixed-color-template
+task is unlearnable-or-memorizable under the canonical full-RA recipe
+(fresh effiB0 collapses to the class prior with RA; without RA it
+memorizes the 1024 fixed noise instances at train CE 1e-4 / val chance).
+The orientation x frequency texture task is RA-invariant by construction
+and fresh effiB0 learns it under full RA (81% train acc by epoch 3 at
+64^2 on CPU).
+
 Feeding: the train/val sets live DEVICE-RESIDENT (one upload); per-epoch
 permutation happens on device and losses are fetched once per epoch —
 the axon relay never enters the timed path (CLAUDE.md).
@@ -40,30 +58,176 @@ LR, MOM, WD, ALPHA, T_NCE, KD_T = 0.05, 0.9, 1e-4, 0.999, 0.15, 4.0
 
 
 def make_task(n: int, seed: int, noise: float):
-    """The e2e_accuracy_parity template task at histo scale: low-frequency
-    class templates + per-sample noise, uint8 (the real pipeline's input
-    dtype — RA quantizes at entry, data/randaugment.py)."""
-    tmpl_rs = np.random.RandomState(777)
-    templates = tmpl_rs.rand(N_CLS, HW, HW, 3).astype(np.float32)
-    for _ in range(3):
-        templates = (np.roll(templates, 1, 1) + np.roll(templates, -1, 1)
-                     + np.roll(templates, 1, 2) + np.roll(templates, -1, 2)
-                     + templates) / 5.0
+    """Learnable-under-RandAugment histo-scale task (r4 redesign).
+
+    The r2/r3 template task (fixed color templates + noise) is NOT
+    RA-compatible: its class signal is absolute color structure, which
+    is precisely what RA's color ops (solarize/posterize/equalize/
+    invert/contrast) destroy — measured: resnet8 crawls to ~77% under
+    RA while effiB0 collapses to the class prior, and without RA
+    effiB0 memorizes the fixed templates' noise instead (train CE 1e-4,
+    val chance).  Classes here are {coarse, fine} x {horizontal,
+    vertical} oriented sinusoid textures with PER-SAMPLE random phase/
+    frequency jitter: the class rule is a spatial-frequency statistic —
+    invariant to every RA color op, robust to its geometry (rotate/shear
+    at m10 stay <=30 deg: h/v remain separable; the 6x frequency ratio
+    dwarfs crop-induced rescaling) — and no fixed template exists, so
+    generalization is forced.  uint8, the real pipeline's input dtype."""
     rs = np.random.RandomState(seed)
     labels = rs.randint(0, N_CLS, (n,)).astype(np.int32)
+    freqs = (4.0, 4.0, 24.0, 24.0)   # cycles/image: coarse, coarse, fine, fine
+    vertical = (0, 1, 0, 1)          # stripe direction
+    u = np.arange(HW, dtype=np.float32)
     x = np.empty((n, HW, HW, 3), np.uint8)
-    chunk = 64  # bound the f32 working set while mixing
-    for i in range(0, n, chunk):
-        sl = slice(i, min(i + chunk, n))
-        mix = ((1.0 - noise) * templates[labels[sl]]
-               + noise * rs.rand(sl.stop - sl.start, HW, HW, 3)
-               .astype(np.float32))
-        x[sl] = (mix * 255.0 + 0.5).astype(np.uint8)
+    for i in range(n):
+        c = int(labels[i])
+        f = freqs[c] * (1.0 + 0.25 * (rs.rand() - 0.5))
+        wave = 0.5 + 0.45 * np.sin(
+            2.0 * np.pi * f * u / HW + rs.rand() * 2.0 * np.pi)
+        img = wave[None, :] if vertical[c] else wave[:, None]
+        img = np.broadcast_to(img[..., None], (HW, HW, 3))
+        mix = ((1.0 - noise) * img
+               + noise * rs.rand(HW, HW, 3).astype(np.float32))
+        x[i] = (mix * 255.0 + 0.5).astype(np.uint8)
     return x, labels
 
 
+PRETRAIN_CACHE = "/tmp/flagship_pretrain.pkl"
+
+
+def pretrain_trunk(train_x, train_y, val_x, val_y, epochs: int = 10,
+                   log=print):
+    """Vanilla-CE effiB0 pretrain on the task (aug NULL, bf16 compute,
+    SGD 0.05 cosine) — the study's stand-in for the reference's PANDA
+    pretrain.  Cached to PRETRAIN_CACHE so every leg (and every runner
+    process) starts from the identical f32 weights."""
+    import pickle
+
+    if os.path.exists(PRETRAIN_CACHE):
+        with open(PRETRAIN_CACHE, "rb") as f:
+            return pickle.load(f)
+
+    import jax
+    import jax.numpy as jnp
+
+    from moma_tpu.core.config import Config
+    from moma_tpu.core.mesh import (create_mesh, data_sharding,
+                                    replicated_sharding)
+    from moma_tpu.core.schedules import lr_schedule
+    from moma_tpu.data.histo_augment import (make_histo_augment,
+                                             make_histo_eval)
+    from moma_tpu.models import create_model
+    from moma_tpu.train.state import TrainState, make_sgd
+    from moma_tpu.train.steps import make_vanilla_train_step
+
+    cfg = Config()
+    cfg.data.dataset = "prostate_hv"
+    cfg.data.batch_size = B
+    cfg.data.image_size = HW
+    cfg.data.aug_train = "NULL"  # crop/flip/normalize only (see docstring)
+    cfg.model_s.n_cls = N_CLS
+
+    mesh = create_mesh()
+    model = create_model("effiB0", num_classes=N_CLS, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, HW, HW, 3), jnp.bfloat16),
+                           train=False)
+    n_steps = len(train_y) // B
+    tx = make_sgd(lr_schedule(LR, epochs, n_steps, cosine=True), MOM, WD)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step_fn = make_vanilla_train_step(
+        augment_fn=make_histo_augment(cfg), donate=False)
+
+    tx_dev = jax.device_put(train_x, data_sharding(mesh))
+    ty_dev = jax.device_put(train_y, data_sharding(mesh, ndim=1))
+    vx_dev = jax.device_put(val_x, data_sharding(mesh))
+
+    @jax.jit
+    def permute(x, y, perm):
+        return jnp.take(x, perm, axis=0), jnp.take(y, perm, axis=0)
+
+    eval_norm = make_histo_eval(cfg)
+
+    @jax.jit
+    def eval_correct(params, bs, images, labels):
+        _, logits = model.apply({"params": params, "batch_stats": bs},
+                                eval_norm(images), train=False)
+        return jnp.sum((jnp.argmax(logits.astype(jnp.float32), -1)
+                        == labels).astype(jnp.int32))
+
+    perm_rs = np.random.RandomState(1717)
+    val_y_np = np.asarray(val_y)
+    acc = 0.0
+    for epoch in range(epochs):
+        ex, ey = permute(tx_dev, ty_dev,
+                         jnp.asarray(perm_rs.permutation(len(train_y))))
+        losses = []
+        for i in range(len(train_y) // B):
+            batch = {"image": ex[i * B:(i + 1) * B],
+                     "label": ey[i * B:(i + 1) * B]}
+            state, m = step_fn(state, batch,
+                               jax.random.PRNGKey(epoch * 777 + i))
+            losses.append(m["loss"])
+        ep_loss = float(np.mean([float(v) for v in losses]))
+        correct = 0
+        for i in range(0, len(val_y_np), 64):
+            correct += int(eval_correct(
+                state.params, state.batch_stats, vx_dev[i:i + 64],
+                jnp.asarray(val_y_np[i:i + 64])))
+        acc = 100.0 * correct / len(val_y_np)
+        log(f"  [pretrain] epoch {epoch + 1}/{epochs}: loss {ep_loss:.4f} "
+            f"val acc {acc:.2f}", flush=True)
+
+    # BN running-stat recalibration: effiB0's BN momentum is 0.99 (TF
+    # default the torch port keeps), so the short pretrain's ~80 steps
+    # leave running stats ~half init values and eval-mode forwards are
+    # garbage (measured: val erratic 20->63->24 while train CE 5e-4).
+    # Converge them with forward-only train-mode passes (0.99^320 ~ 4%
+    # residual) — the reference's 50-epoch runs get this for free.
+    augment_fn = make_histo_augment(cfg)
+
+    @jax.jit
+    def bn_refresh(params, bs, images, rng):
+        _, mut = model.apply(
+            {"params": params, "batch_stats": bs}, augment_fn(images, rng),
+            train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    bs = state.batch_stats
+    n_steps_ep = len(train_y) // B
+    for r in range(320):
+        i = r % n_steps_ep
+        bs = bn_refresh(state.params, bs,
+                        tx_dev[i * B:(i + 1) * B],
+                        jax.random.PRNGKey(31_000 + r))
+    state = state.replace(batch_stats=bs)
+    jax.block_until_ready(bs)
+    correct = 0
+    for i in range(0, len(val_y_np), 64):
+        correct += int(eval_correct(
+            state.params, state.batch_stats, vx_dev[i:i + 64],
+            jnp.asarray(val_y_np[i:i + 64])))
+    acc = 100.0 * correct / len(val_y_np)
+    log(f"  [pretrain] post-BN-recalibration val acc {acc:.2f}",
+        flush=True)
+
+    out = {
+        "params": jax.tree_util.tree_map(
+            lambda a: np.asarray(a), jax.device_get(state.params)),
+        "batch_stats": jax.tree_util.tree_map(
+            lambda a: np.asarray(a), jax.device_get(state.batch_stats)),
+        "val_acc": acc,
+    }
+    with open(PRETRAIN_CACHE, "wb") as f:
+        pickle.dump(out, f)
+    return out
+
+
 def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
-        perturb: float = 0.0, log=print):
+        perturb: float = 0.0, log=print, pretrained=None):
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +235,8 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     from moma_tpu.core.mesh import (create_mesh, data_sharding,
                                     replicated_sharding)
     from moma_tpu.core.schedules import lr_schedule
-    from moma_tpu.data.histo_augment import make_histo_augment
+    from moma_tpu.data.histo_augment import (make_histo_augment,
+                                             make_histo_eval)
     from moma_tpu.models import create_model
     from moma_tpu.moma.cmo import CMOHeads
     from moma_tpu.moma.queue import QueueState
@@ -97,15 +262,27 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=T_NCE, alpha=ALPHA,
                           mem="MoCo", head="mlp", attn="self",
                           kl_teacher_bn="exact")
-    cfg.model_s.n_cls = N_CLS
-    cfg.model_t.n_cls = N_CLS
-    cfg.model_s.name = cfg.model_t.name = "effiB0"
+    from moma_tpu.core.config import ModelConfig
+    cfg.model_s = ModelConfig(name="effiB0", n_cls=N_CLS)
+    cfg.model_t = ModelConfig(name="effiB0", n_cls=N_CLS)
 
     mesh = create_mesh()
     model = create_model("effiB0", num_classes=N_CLS, dtype=dtype)
     sample = jnp.zeros((2, HW, HW, 3), dtype or jnp.float32)
     vars_s = model.init(jax.random.PRNGKey(0), sample, train=False)
     vars_t = model.init(jax.random.PRNGKey(1), sample, train=False)
+    if pretrained is not None:
+        # teacher = full pretrained net; student = pretrained trunk +
+        # fresh classifier (strict=False classifier-popping semantics,
+        # helper/util.py:156-159) — run_moma.sh --std_pre/--tec_pre
+        pt_params = jax.tree_util.tree_map(jnp.asarray,
+                                           pretrained["params"])
+        pt_bs = jax.tree_util.tree_map(jnp.asarray,
+                                       pretrained["batch_stats"])
+        vars_t = {"params": pt_params, "batch_stats": pt_bs}
+        s_params = dict(pt_params)
+        s_params["classifier"] = vars_s["params"]["classifier"]
+        vars_s = {"params": s_params, "batch_stats": pt_bs}
     if perturb:
         flat, tree = jax.tree_util.tree_flatten(vars_s["params"])
         flat[0] = flat[0].at[(0,) * flat[0].ndim].add(perturb)
@@ -146,10 +323,13 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     def permute(x, y, perm):
         return jnp.take(x, perm, axis=0), jnp.take(y, perm, axis=0)
 
+    eval_norm = make_histo_eval(cfg)
+
     @jax.jit
     def eval_correct(params, bs, images, labels):
         _, logits = model.apply(
-            {"params": params, "batch_stats": bs}, images, train=False)
+            {"params": params, "batch_stats": bs}, eval_norm(images),
+            train=False)
         return jnp.sum((jnp.argmax(logits.astype(jnp.float32), -1)
                         == labels).astype(jnp.int32))
 
@@ -191,6 +371,7 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--pretrain_epochs", type=int, default=10)
     p.add_argument("--train_n", type=int, default=1024)
     p.add_argument("--val_n", type=int, default=512)
     p.add_argument("--noise", type=float, default=0.3)
@@ -207,21 +388,28 @@ def main(argv=None):
     train_x, train_y = make_task(a.train_n, seed=1, noise=a.noise)
     val_x, val_y = make_task(a.val_n, seed=2, noise=a.noise)
 
+    pt = pretrain_trunk(train_x, train_y, val_x, val_y,
+                        epochs=a.pretrain_epochs)
+    print(f"[flagship_accuracy] pretrained trunk val acc "
+          f"{pt['val_acc']:.2f}", flush=True)
+
     out = {"config": {"model": "effiB0", "hw": HW, "B": B, "K": K,
                       "feat_dim": FEAT, "epochs": a.epochs,
                       "train_n": a.train_n, "val_n": a.val_n,
-                      "noise": a.noise, "lr": LR, "cosine": True}}
+                      "noise": a.noise, "lr": LR, "cosine": True,
+                      "pretrain_epochs": a.pretrain_epochs,
+                      "pretrain_val_acc": pt["val_acc"]}}
     for name in a.runs.split(","):
         t0 = time.perf_counter()
         if name == "bf16":
             out["bf16"] = run("bf16", train_x, train_y, val_x, val_y,
-                              a.epochs)
+                              a.epochs, pretrained=pt)
         elif name == "f32":
             out["f32"] = run("f32", train_x, train_y, val_x, val_y,
-                             a.epochs)
+                             a.epochs, pretrained=pt)
         elif name == "chaos":
             out["chaos"] = run("f32", train_x, train_y, val_x, val_y,
-                               a.epochs, perturb=1e-7)
+                               a.epochs, perturb=1e-7, pretrained=pt)
         else:
             raise SystemExit(f"unknown run {name!r}")
         print(f"[flagship_accuracy] {name}: final acc "
