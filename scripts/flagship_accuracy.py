@@ -340,7 +340,7 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     for epoch in range(epochs):
         ex, ey = permute(train_x_dev, train_y_dev,
                          jnp.asarray(perm_rs.permutation(len(train_y))))
-        ep_losses = []
+        ep_losses, ep_cls, ep_acc = [], [], []
         for i in range(n_steps):
             batch = {"image": ex[i * B:(i + 1) * B],
                      "label": ey[i * B:(i + 1) * B]}
@@ -348,8 +348,12 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
             state, metrics = fn(state, batch,
                                 jax.random.PRNGKey(epoch * 10_000 + i))
             ep_losses.append(metrics["loss"])
+            ep_cls.append(metrics["loss_cls"])
+            ep_acc.append(metrics["acc1"])
         # one value fetch per epoch forces the whole chain (CLAUDE.md)
         ep = [float(v) for v in ep_losses]
+        cls_m = float(np.mean([float(v) for v in ep_cls]))
+        acc_m = float(np.mean([float(v) for v in ep_acc]))
         curve.extend(ep)
         correct = 0
         for i in range(0, len(val_y_np), 64):
@@ -360,12 +364,42 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
         accs.append(acc)
         log(f"  [{precision}{'+chaos' if perturb else ''}] epoch "
             f"{epoch + 1}/{epochs}: loss {np.mean(ep):.4f} "
+            f"cls {cls_m:.4f} train acc {acc_m:.1f} "
             f"val acc {acc:.2f}", flush=True)
+    # final BN recalibration before the reported eval: at this horizon
+    # (160 steps, BN momentum 0.99) the student's running stats are
+    # mid-transient between the RA-augmented train distribution and
+    # their pretrain values — measured: train acc 89% with eval-mode
+    # val pinned at the constant-class 27.3% until recalibrated.  The
+    # reference's 40k-step canonical runs converge these for free.
+    @jax.jit
+    def bn_refresh(params, bs, images, rng):
+        _, mut = model.apply(
+            {"params": params, "batch_stats": bs}, augment(images, rng),
+            train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    sbs = state.batch_stats["student"]
+    for r in range(320):
+        i = r % n_steps
+        sbs = bn_refresh(state.params["student"], sbs,
+                         train_x_dev[i * B:(i + 1) * B],
+                         jax.random.PRNGKey(77_000 + r))
+    correct = 0
+    for i in range(0, len(val_y_np), 64):
+        correct += int(eval_correct(
+            state.params["student"], sbs,
+            val_x_dev[i:i + 64], jnp.asarray(val_y_np[i:i + 64])))
+    final_acc = 100.0 * correct / len(val_y_np)
+    log(f"  [{precision}{'+chaos' if perturb else ''}] post-BN-"
+        f"recalibration val acc {final_acc:.2f}", flush=True)
+
     wall = time.perf_counter() - t0
     ips = epochs * n_steps * B / wall
-    return {"curve": curve, "accs": accs, "final_acc": accs[-1],
-            "best_acc": max(accs), "img_per_s": round(ips, 1),
-            "remat": cfg.run.remat}
+    return {"curve": curve, "accs": accs, "final_acc": final_acc,
+            "raw_final_acc": accs[-1], "raw_accs": accs,
+            "best_acc": max(accs + [final_acc]),
+            "img_per_s": round(ips, 1), "remat": cfg.run.remat}
 
 
 def main(argv=None):

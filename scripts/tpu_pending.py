@@ -332,17 +332,23 @@ def item_r4_flagship_bf16():
     canonical config (effiB0@512, global BS128, K=16384, mlp/self,
     full RA, exact-BN) — VERDICT r3 next #1."""
     from flagship_accuracy import main as fa_main
-    return fa_main(["--runs", "bf16", "--json", "/tmp/flagship_bf16.json"])
+    return fa_main(["--runs", "bf16", "--epochs", "20",
+                    "--pretrain_epochs", "24",
+                    "--json", "/tmp/flagship_bf16.json"])
 
 
 def item_r4_flagship_f32():
     from flagship_accuracy import main as fa_main
-    return fa_main(["--runs", "f32", "--json", "/tmp/flagship_f32.json"])
+    return fa_main(["--runs", "f32", "--epochs", "20",
+                    "--pretrain_epochs", "24",
+                    "--json", "/tmp/flagship_f32.json"])
 
 
 def item_r4_flagship_chaos():
     from flagship_accuracy import main as fa_main
-    return fa_main(["--runs", "chaos", "--json", "/tmp/flagship_chaos.json"])
+    return fa_main(["--runs", "chaos", "--epochs", "20",
+                    "--pretrain_epochs", "24",
+                    "--json", "/tmp/flagship_chaos.json"])
 
 
 def item_r4_flash_bigN_65792():
