@@ -240,6 +240,14 @@ class EfficientNet(nn.Module):
     # layout probe (VERDICT r3 #8): 0 = standard stem; 2/4 = space-to-
     # depth folded stem (see _StemConv).  Same math, same param tree.
     stem_s2d: int = 0
+    # per-block rematerialization: each MBConvBlock recomputes its
+    # interior (6x expand / depthwise / SE) in the backward, holding
+    # only block-boundary activations.  The coarse full-forward
+    # jax.checkpoint (RunConfig.remat) does NOT reduce peak memory —
+    # the replay materializes the whole activation set again before the
+    # backward consumes it (measured: f32 BS128@512 OOMs either way
+    # without this).  Param tree unchanged.
+    block_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -283,10 +291,15 @@ class EfficientNet(nn.Module):
                 brng = (
                     jax.random.fold_in(dc_rng, idx) if dc_rng is not None else None
                 )
-                x = MBConvBlock(
+                # flax static_argnums count the module as argument 0
+                blk_cls = (
+                    nn.checkpoint(MBConvBlock, static_argnums=(2, 3))
+                    if self.block_remat else MBConvBlock
+                )
+                x = blk_cls(
                     in_f, ba.output_filters, ba.kernel_size, stride,
                     ba.expand_ratio, ba.se_ratio, dtype=self.dtype,
-                )(x, train=train, drop_rate=rate, rng=brng)
+                )(x, train, rate, brng)
                 # endpoint = pre-reduction map (model.py:283-285)
                 if prev.shape[1] > x.shape[1]:
                     endpoints.append(prev)

@@ -253,10 +253,13 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     cfg.data.batch_size = B
     cfg.data.image_size = HW
     cfg.run.half_precision = bf16
-    # f32 activations at BS128@512 overflow HBM; remat recomputes the
-    # student forward in the backward — same ops, same values, pure
-    # memory lever (the bf16 run stays the shipped default: no remat)
-    cfg.run.remat = not bf16
+    # f32 activations at BS128@512 overflow HBM; PER-BLOCK remat
+    # (EfficientNet.block_remat) recomputes each MBConv interior in the
+    # backward — same ops, same values, pure memory lever (the coarse
+    # full-forward cfg.run.remat measured ineffective: the replay still
+    # materializes the whole activation set; the bf16 run stays the
+    # shipped default: no remat)
+    cfg.run.remat = False
     cfg.distill = DistillConfig(distill="moma", cls=1.0, div=1.0, beta=1.0,
                                 kd_T=KD_T)
     cfg.moma = MomaConfig(feat_dim=FEAT, nce_k=K, nce_t=T_NCE, alpha=ALPHA,
@@ -267,7 +270,8 @@ def run(precision: str, train_x, train_y, val_x, val_y, epochs: int,
     cfg.model_t = ModelConfig(name="effiB0", n_cls=N_CLS)
 
     mesh = create_mesh()
-    model = create_model("effiB0", num_classes=N_CLS, dtype=dtype)
+    model = create_model("effiB0", num_classes=N_CLS, dtype=dtype,
+                         block_remat=not bf16)
     sample = jnp.zeros((2, HW, HW, 3), dtype or jnp.float32)
     vars_s = model.init(jax.random.PRNGKey(0), sample, train=False)
     vars_t = model.init(jax.random.PRNGKey(1), sample, train=False)
