@@ -120,6 +120,10 @@ class _StemConv(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
         f, c_in, co = self.s2d, x.shape[-1], self.features
+        # the folded kernel is exact only when H/W divide the packing
+        # factor; silently truncating would diverge from the standard stem
+        assert x.shape[1] % f == 0 and x.shape[2] % f == 0, (
+            f"stem_s2d={f} needs H,W divisible by {f}; got {x.shape[1:3]}")
         b, h, w = x.shape[0], x.shape[1] // f, x.shape[2] // f
         # pack (dy, dx, c) onto channels
         xs = x.reshape(b, h, f, w, f, c_in).transpose(0, 1, 3, 2, 4, 5)
@@ -296,9 +300,13 @@ class EfficientNet(nn.Module):
                     nn.checkpoint(MBConvBlock, static_argnums=(2, 3))
                     if self.block_remat else MBConvBlock
                 )
+                # nn.checkpoint renames the class (CheckpointMBConvBlock),
+                # which would shift auto-names and break the param tree vs
+                # the standard model — pin the standard auto-name explicitly
                 x = blk_cls(
                     in_f, ba.output_filters, ba.kernel_size, stride,
                     ba.expand_ratio, ba.se_ratio, dtype=self.dtype,
+                    name=f"MBConvBlock_{idx}",
                 )(x, train, rate, brng)
                 # endpoint = pre-reduction map (model.py:283-285)
                 if prev.shape[1] > x.shape[1]:

@@ -1279,13 +1279,10 @@ def run_moma(cfg: Config, synthetic: bool = False):
                     "cannot appear inside a shard_map body (per-device "
                     "code).  Use bn='global' for cross-arch model-parallel "
                     "runs.")
-            if cfg.moma.mem != "MoCo":
-                raise ValueError(
-                    f"bn='{cfg.run.bn}' with --model_parallel is wired for "
-                    "mem='MoCo' (the flagship config); the dual-bank / "
-                    "in-queue-attention variants would each need their own "
-                    "explicit-collective sharded step — use bn='global' "
-                    "with them.")
+            # round-4 completed the matrix: ALL four mems have explicit-
+            # collective sharded-bank steps (queue.py step_moco_
+            # {st,sstt,att}_sharded; oracle parity:
+            # tests/test_moma_local_bn_mp_variants.py) — no mem gate.
         if cfg.run.sequence_parallel and not cross_arch:
             raise ValueError(
                 "--sequence_parallel applies to the tensor-parallel ViT "

@@ -92,19 +92,28 @@ def make_task(n: int, seed: int, noise: float):
     return x, labels
 
 
-PRETRAIN_CACHE = "/tmp/flagship_pretrain.pkl"
+# task-version tag: bump when make_task or the pretrain protocol changes
+TASK_VERSION = "r4-orientfreq-v2"
+
+
+def _pretrain_cache_path(epochs, train_n, noise):
+    # keyed on everything that changes the produced weights — a stale
+    # cache from a different pretrain config must never be loaded
+    return (f"/tmp/flagship_pretrain_{TASK_VERSION}"
+            f"_e{epochs}_n{train_n}_noise{noise}.pkl")
 
 
 def pretrain_trunk(train_x, train_y, val_x, val_y, epochs: int = 10,
-                   log=print):
+                   log=print, noise: float = 0.3):
     """Vanilla-CE effiB0 pretrain on the task (aug NULL, bf16 compute,
     SGD 0.05 cosine) — the study's stand-in for the reference's PANDA
-    pretrain.  Cached to PRETRAIN_CACHE so every leg (and every runner
-    process) starts from the identical f32 weights."""
+    pretrain.  Cached (keyed on epochs/train_n/noise/task version) so
+    every leg and runner process starts from the identical f32 weights."""
     import pickle
 
-    if os.path.exists(PRETRAIN_CACHE):
-        with open(PRETRAIN_CACHE, "rb") as f:
+    cache = _pretrain_cache_path(epochs, len(train_y), noise)
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
             return pickle.load(f)
 
     import jax
@@ -221,7 +230,7 @@ def pretrain_trunk(train_x, train_y, val_x, val_y, epochs: int = 10,
             lambda a: np.asarray(a), jax.device_get(state.batch_stats)),
         "val_acc": acc,
     }
-    with open(PRETRAIN_CACHE, "wb") as f:
+    with open(cache, "wb") as f:
         pickle.dump(out, f)
     return out
 
@@ -427,7 +436,7 @@ def main(argv=None):
     val_x, val_y = make_task(a.val_n, seed=2, noise=a.noise)
 
     pt = pretrain_trunk(train_x, train_y, val_x, val_y,
-                        epochs=a.pretrain_epochs)
+                        epochs=a.pretrain_epochs, noise=a.noise)
     print(f"[flagship_accuracy] pretrained trunk val acc "
           f"{pt['val_acc']:.2f}", flush=True)
 

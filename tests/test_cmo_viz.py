@@ -95,7 +95,8 @@ def _make_state_and_step(attn):
         apply_fn=model.apply, teacher_apply_fn=_teacher_apply(cfg, model),
     )
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_moma_train_step(cfg, heads, augment_fn=None, donate=False)
+    step = make_moma_train_step(cfg, heads, augment_fn=None, donate=False,
+                                kl_train_bn_override=True)
     rs = np.random.RandomState(0)
     batch = {
         "image": jax.device_put(rs.rand(B, HW, HW, 3).astype(np.float32),

@@ -213,10 +213,11 @@ def test_moma_grad_accum_invalid_combos_raise(mesh8):
 
     with pytest.raises(ValueError, match="bn"):
         make_moma_train_step(cfg_with(bn="local"), heads=None,
-                             augment_fn=None, mesh=mesh8)
+                             augment_fn=None, mesh=mesh8,
+                             kl_train_bn_override=True)
     with pytest.raises(ValueError, match="fast_teacher"):
         make_moma_train_step(cfg_with(fast_teacher=True), heads=None,
-                             augment_fn=None)
+                             augment_fn=None, kl_train_bn_override=True)
 
 
 def test_cli_bridge_parses_grad_accum():

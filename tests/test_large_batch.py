@@ -166,7 +166,7 @@ def test_remat_moma_numerics_identical(mesh8):
                      t_dim=fs[-1][-1])
     step_remat = make_moma_train_step(
         cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False)
+        donate=False, kl_train_bn_override=True)
     batch = moma_batch(mesh8)
     rng = jax.random.PRNGKey(4)
     _, m_plain = step_plain(state, batch, rng)

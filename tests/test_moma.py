@@ -63,8 +63,11 @@ def _setup(mesh, mem="MoCo", attn="self", head="mlp"):
         teacher_apply_fn=model.apply,
     )
     state = jax.device_put(state, replicated_sharding(mesh))
+    # steady-state program intended (the cfg default is 'exact', an
+    # epoch-loop schedule); the override silences the bare-build warning
     step = make_moma_train_step(
-        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im), donate=False
+        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
+        donate=False, kl_train_bn_override=True,
     )
     return cfg, state, step
 
@@ -175,7 +178,8 @@ def test_moma_fast_teacher_mode(mesh8):
     cfg.moma.fast_teacher = True
     heads = CMOHeads("mlp", "self", FEAT, 64, 64)
     step = make_moma_train_step(
-        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im), donate=False
+        cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
+        donate=False, kl_train_bn_override=True,
     )
     new_state, m = step(state, _batch(mesh8), jax.random.PRNGKey(1))
     for k in ("loss", "loss_div", "loss_kd"):
@@ -237,12 +241,14 @@ def test_moma_no_shuffle_bn_matches_with_global_bn(mesh8):
     step1 = make_moma_train_step(
         cfg1, CMOHeads("mlp", "self", FEAT, 64, 64),
         augment_fn=lambda im, r: cifar_eval_normalize(im), donate=False,
+        kl_train_bn_override=True,
     )
     cfg2, state2, _ = _setup(mesh8)
     cfg2.moma.shuffle_bn = False
     step2 = make_moma_train_step(
         cfg2, CMOHeads("mlp", "self", FEAT, 64, 64),
         augment_fn=lambda im, r: cifar_eval_normalize(im), donate=False,
+        kl_train_bn_override=True,
     )
     b = _batch(mesh8)
     _, m1 = step1(state1, b, jax.random.PRNGKey(3))
@@ -307,7 +313,8 @@ def test_moma_sstt_second_view_is_live(mesh8):
 
     heads = CMOHeads(head="mlp", attn="self", feat_dim=FEAT, s_dim=64, t_dim=64)
     step_noisy = make_moma_train_step(cfg, heads, augment_fn=noisy_augment,
-                                      donate=False)
+                                      donate=False,
+                                      kl_train_bn_override=True)
     cfg2, state2, _ = _setup(mesh8, mem="MoCoSSTT")
     _, m_noise = step_noisy(state2, batch, jax.random.PRNGKey(1))
     # the noisy second view perturbs q_t -> ts/tt logits -> loss_kd

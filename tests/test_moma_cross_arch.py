@@ -60,7 +60,7 @@ def _setup(mesh, mem="MoCo", fast_teacher=False):
     state = jax.device_put(state, replicated_sharding(mesh))
     step = make_moma_train_step(
         cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False, cross_arch=True,
+        donate=False, cross_arch=True, kl_train_bn_override=True,
     )
     return cfg, state, step
 

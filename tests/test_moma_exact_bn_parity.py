@@ -317,7 +317,8 @@ def test_exact_default_and_bare_build_is_steady_state(mesh8):
     heads = CMOHeads(head="mlp", attn="self", feat_dim=TFEAT, s_dim=s_dim,
                      t_dim=s_dim)
     aug = lambda im, r: im.astype(jnp.float32) / 255.0
-    bare = make_moma_train_step(cfg, heads, augment_fn=aug, donate=False)
+    with pytest.warns(UserWarning, match="steady-state"):
+        bare = make_moma_train_step(cfg, heads, augment_fn=aug, donate=False)
     steady = make_moma_train_step(cfg, heads, augment_fn=aug, donate=False,
                                   kl_train_bn_override=True)
     batch = _batch(mesh8)

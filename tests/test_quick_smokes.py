@@ -169,3 +169,51 @@ def test_stem_s2d_exact():
                      (jnp.linalg.norm(l0) + 1e-9)) < 1e-5
         assert float(jnp.linalg.norm(f[0] - f0[0]) /
                      (jnp.linalg.norm(f0[0]) + 1e-9)) < 1e-5
+    # train=True through the folded stem: BN batch-stats mutation and
+    # gradients through the .at[].set kernel folds (ADVICE r4 low #2)
+    m4 = EfficientNet(variant="b0", num_classes=4, stem_s2d=4)
+
+    def loss_fn(params):
+        (_, logits), _ = m4.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    stem_g = g["Conv_0"]["kernel"]
+    assert np.isfinite(np.asarray(stem_g)).all()
+    assert float(jnp.sum(jnp.abs(stem_g))) > 0
+
+
+def test_block_remat_tree_and_grad():
+    """block_remat=True must keep the param tree byte-identical to the
+    standard model (nn.checkpoint renames the class; we pin the
+    standard auto-name — ADVICE r4 high) and accept standard-init
+    params under grad with BN mutation."""
+    from moma_tpu.models.efficientnet import EfficientNet
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    m0 = EfficientNet(variant="b0", num_classes=4)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    mr = EfficientNet(variant="b0", num_classes=4, block_remat=True)
+    vr = mr.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(vr)
+            == jax.tree_util.tree_structure(v0))
+    # standard-init params flow through the remat model (values equal)
+    _, l0 = m0.apply(v0, x, train=False)
+    _, lr = mr.apply(v0, x, train=False)
+    assert float(jnp.linalg.norm(lr - l0) /
+                 (jnp.linalg.norm(l0) + 1e-9)) < 1e-6
+
+    def loss_fn(params):
+        (_, logits), _ = mr.apply(
+            {"params": params, "batch_stats": v0["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_fn)(v0["params"])
+    total = float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0))
+    assert np.isfinite(total) and total > 0

@@ -43,7 +43,7 @@ def test_teacher_quant_active_and_bounded(mesh8):
     qstate = state.replace(teacher_apply_fn=_teacher_apply(cfg, _T))
     qstep = make_moma_train_step(
         cfg, _heads(state), augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False)
+        donate=False, kl_train_bn_override=True)
     _, m_q = qstep(qstate, batch, rng)
 
     for k in ("loss", "loss_cls", "loss_div", "loss_kd"):
@@ -70,7 +70,7 @@ def test_teacher_quant_losses_descend(mesh8):
     state = state.replace(teacher_apply_fn=_teacher_apply(cfg, _T))
     step = make_moma_train_step(
         cfg, _heads(state), augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False)
+        donate=False, kl_train_bn_override=True)
     batch = _batch(mesh8)
     losses = []
     for i in range(6):
@@ -112,7 +112,7 @@ def test_teacher_quant_under_local_bn_shard_map(mesh8):
     state = state.replace(teacher_apply_fn=_teacher_apply(cfg, _T))
     step = make_moma_train_step(
         cfg, _heads(state), augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False, mesh=mesh8)
+        donate=False, mesh=mesh8, kl_train_bn_override=True)
     new_state, metrics = step(state, _batch(mesh8), jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.queue.ptr) == _batch(mesh8)["image"].shape[0]

@@ -205,7 +205,7 @@ def test_moma_step_with_expert_parallel_teacher():
 
     step = make_moma_train_step(
         cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False, cross_arch=True,
+        donate=False, cross_arch=True, kl_train_bn_override=True,
     )
     rs = np.random.RandomState(0)
     batch = {
@@ -228,7 +228,7 @@ def test_moma_step_with_expert_parallel_teacher():
     )
     step_rep = make_moma_train_step(
         cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False, cross_arch=True,
+        donate=False, cross_arch=True, kl_train_bn_override=True,
     )
     _, metrics_rep = step_rep(state_rep, batch, jax.random.PRNGKey(4))
     np.testing.assert_allclose(loss_ep, float(metrics_rep["loss"]),

@@ -216,7 +216,7 @@ def _moma_setup(mesh, teacher, teacher_params, teacher_apply):
     state = state.replace(teacher_params=teacher_params)
     step = make_moma_train_step(
         cfg, heads, augment_fn=lambda im, r: cifar_eval_normalize(im),
-        donate=False, cross_arch=True,
+        donate=False, cross_arch=True, kl_train_bn_override=True,
     )
     return state, step
 
