@@ -232,6 +232,42 @@ class CMOHeads:
 
         return {name: make(name, mod) for name, mod in self.attn_modules.items()}
 
+    def ring_attn_fns(self, params: dict, axis_name: str) -> Dict[str, Callable]:
+        """Callables for the 'model'-sharded bank (shard_map bodies only).
+
+        Each maps (x_rep, x_loc) -> (out_rep, out_loc): attention over
+        the token set [replicated x_rep; x_loc sharded over `axis_name`]
+        via ring flash attention (ops/ring_attention.py) — the full bank
+        is never gathered.  Attention2 modes apply the residual+LayerNorm
+        per token afterwards (both are row-local, so they commute with
+        the sharding)."""
+        from moma_tpu.ops.ring_attention import ring_batch_token_attention
+
+        def make(name, mod):
+            p = params[name]
+            is2 = isinstance(mod, BatchTokenAttention2)
+            ap = p["attn_layer"] if is2 else p
+
+            def fn(x_rep, x_loc):
+                out_rep, out_loc = ring_batch_token_attention(
+                    x_rep, x_loc,
+                    ap["TorchLinear_0"]["kernel"],
+                    ap["TorchLinear_0"].get("bias"),
+                    ap["TorchLinear_1"]["kernel"],
+                    ap["TorchLinear_1"]["bias"],
+                    mod.num_heads, axis_name)
+                if is2:
+                    ln = nn.LayerNorm()
+                    lnp = {"params": p["LayerNorm_0"]}
+                    out_rep = ln.apply(lnp, out_rep + x_rep)
+                    out_loc = ln.apply(lnp, out_loc + x_loc)
+                return out_rep, out_loc
+
+            return fn
+
+        return {name: make(name, mod)
+                for name, mod in self.attn_modules.items()}
+
     def attn_maps(self, params: dict, inputs: Dict[str, Any]) -> Dict[str, Any]:
         """Per-module (out, (H, N, N) attention map) — the Attention_viz
         capability (criterion_moco_att.py:171-197, attn='self_viz').

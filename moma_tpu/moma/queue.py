@@ -244,6 +244,44 @@ def _grad_psum(x: jax.Array, axis_name: str) -> jax.Array:
     return ident(x)
 
 
+def _grad_div(x: jax.Array, axis_name: str) -> jax.Array:
+    """Identity forward; cotangent divided by the axis size.
+
+    Companion to _grad_psum for the DIFFERENTIABLE-memory case: when the
+    all-gathered (B, K) logits consume a sharded tensor that carries
+    gradient (the ring-transformed queue), the gather's transpose hands
+    each rank `mp * ct[own block]` (the identical cotangents of all mp
+    ranks, psum-scattered).  Unlike q — whose shards' partials must be
+    SUMMED across ranks (pmean) — the memory rows are disjoint per rank,
+    so the true per-shard cotangent is just ct/mp."""
+
+    @jax.custom_vjp
+    def ident(v):
+        return v
+
+    def fwd(v):
+        return v, None
+
+    def bwd(_, g):
+        return (g / jax.lax.psum(1, axis_name),)
+
+    ident.defvjp(fwd, bwd)
+    return ident(x)
+
+
+def sharded_queue_logits_t(q: jax.Array, k: jax.Array, mem_local_t: jax.Array,
+                           T: float, axis_name: str) -> jax.Array:
+    """sharded_queue_logits for a TRANSFORMED (gradient-carrying) local
+    memory block: same logit values, with the _grad_div correction so
+    the attention producing mem_local_t receives the true per-shard
+    cotangent (see ops/ring_attention.py boundary convention)."""
+    pos = jnp.sum(q * k, axis=1, keepdims=True)
+    neg_local = _grad_psum(q, axis_name) @ _grad_div(mem_local_t,
+                                                     axis_name).T
+    neg = jax.lax.all_gather(neg_local, axis_name, axis=1, tiled=True)
+    return jnp.concatenate([pos, neg], axis=1) / T
+
+
 def sharded_queue_logits(q: jax.Array, k: jax.Array, mem_local: jax.Array,
                          T: float, axis_name: str) -> jax.Array:
     """queue_logits with the bank rows sharded over `axis_name`.
@@ -380,37 +418,61 @@ def step_moco_att_sharded(
     attn_mode: str,
     attn_fns: Dict[str, Callable],
     axis_name: str,
+    ring_fns: Optional[Dict[str, Callable]] = None,
 ) -> Tuple[jax.Array, QueueState]:
     """step_moco_att with the bank's rows sharded over the model axis.
 
     The attention modules mix rows, so the queue-consuming modes
-    ('all'/'dual'/the 'self' family's atts_queue) need the FULL bank: the
-    local (K/mp, D) rows are all-gathered over `axis_name` (K*D*4 bytes
-    — e.g. 32 MB at K=16384/D=512, trivial next to activations) and the
-    attention + logit math then runs REPLICATED across model ranks, so
-    per-rank gradients are already the true full gradients and no
-    _grad_psum is needed (the bank rows are stop_gradient'd — the gather
-    carries no cotangent).  The bank stays 'model'-sharded for storage
-    and for the circular write (one-hot MXU update).  'self_qk' /
-    'self_qkv2' read the bank untransformed — they ride the cheaper
+    ('all'/'dual'/the 'self' family's atts_queue) attend over the FULL
+    bank.  Two routes:
+
+    ring (default when `ring_fns` is given — CMOHeads.ring_attn_fns):
+        ring flash attention (ops/ring_attention.py) — each device keeps
+        its (K/mp, D) rows; key/value shards circulate over `axis_name`
+        and the transformed bank STAYS sharded, feeding the explicit-
+        collective sharded logits (sharded_queue_logits_t).  The full
+        bank — raw or transformed — is never materialized on any device;
+        this is what makes scaled-K x local-BN x model-parallel real
+        (VERDICT r4 next #6).
+
+    all-gather (fallback, ring_fns=None): gather the (K, D) rows and run
+        the attention + logit math replicated — K*D*4 bytes per device
+        (32 MB at K=16384/D=512); per-rank grads are already full.
+
+    Either way the bank stays 'model'-sharded for storage and for the
+    circular write (one-hot MXU update).  'qk'/'self_qk'/'self_qkv2'
+    read the bank untransformed — they ride the cheaper
     sharded_queue_logits path — and 'dual2' never reads it at all."""
     bsz = q.shape[0]
     k = jax.lax.stop_gradient(k)
     mem_local = jax.lax.stop_gradient(state.memory["memory"])
+    consumes_queue = attn_mode not in ("qk", "self_qk", "self_qkv2", "dual2")
+    use_ring = ring_fns is not None and consumes_queue
     queue = None
-    if attn_mode not in ("self_qk", "self_qkv2", "dual2"):
+    if consumes_queue and not use_ring:
         queue = jax.lax.all_gather(mem_local, axis_name, axis=0, tiled=True)
+    queue_loc = None  # ring route: transformed bank rows, still sharded
     if attn_mode == "all":
-        out = attn_fns["atts"](jnp.concatenate([q, k, queue], axis=0))
-        q, k, queue = out[:bsz], out[bsz : 2 * bsz], out[2 * bsz :]
+        if use_ring:
+            out_rep, queue_loc = ring_fns["atts"](
+                jnp.concatenate([q, k], axis=0), mem_local)
+            q, k = out_rep[:bsz], out_rep[bsz:]
+        else:
+            out = attn_fns["atts"](jnp.concatenate([q, k, queue], axis=0))
+            q, k, queue = out[:bsz], out[bsz : 2 * bsz], out[2 * bsz :]
     elif attn_mode == "qk":
         out = attn_fns["atts"](jnp.concatenate([q, k], axis=0))
         q, k = out[:bsz], out[bsz:]
     elif attn_mode == "dual":
-        out_p = attn_fns["atts_p"](jnp.concatenate([q, queue], axis=0))
-        q, queue = out_p[:bsz], out_p[bsz:]
-        out_n = attn_fns["atts_n"](jnp.concatenate([k, queue], axis=0))
-        k, queue = out_n[:bsz], out_n[bsz:]
+        if use_ring:
+            q_out, queue_loc = ring_fns["atts_p"](q, mem_local)
+            k_out, queue_loc = ring_fns["atts_n"](k, queue_loc)
+            q, k = q_out, k_out
+        else:
+            out_p = attn_fns["atts_p"](jnp.concatenate([q, queue], axis=0))
+            q, queue = out_p[:bsz], out_p[bsz:]
+            out_n = attn_fns["atts_n"](jnp.concatenate([k, queue], axis=0))
+            k, queue = out_n[:bsz], out_n[bsz:]
     elif attn_mode == "dual2":
         q = attn_fns["atts_p"](jnp.concatenate([q, k], axis=0))[:bsz]
         k = attn_fns["atts_n"](jnp.concatenate([k, q], axis=0))[:bsz]
@@ -420,13 +482,18 @@ def step_moco_att_sharded(
     else:  # 'self' family
         q = attn_fns["atts_q"](q)
         k = attn_fns["atts_k"](k)
-        queue = attn_fns["atts_queue"](queue)
+        if use_ring:
+            _, queue_loc = ring_fns["atts_queue"](q[:0], mem_local)
+        else:
+            queue = attn_fns["atts_queue"](queue)
 
     if attn_mode == "dual2":
         logits = pos_logits(q, k, T)
-    elif attn_mode in ("self_qk", "self_qkv2"):
+    elif attn_mode in ("qk", "self_qk", "self_qkv2"):
         # bank read untransformed: the explicit-collective sharded path
         logits = sharded_queue_logits(q, k, mem_local, T, axis_name)
+    elif use_ring:
+        logits = sharded_queue_logits_t(q, k, queue_loc, T, axis_name)
     else:
         logits = queue_logits(q, k, queue, T)
     all_k = k if all_k is None else all_k

@@ -286,9 +286,10 @@ def make_moma_train_step(
     # Every mem variant composes with the sharded bank (round 4): MoCo
     # via step_moco_sharded, the dual banks via step_moco_{st,sstt}_
     # sharded (both banks ride 'model'), and MoCoAtt via
-    # step_moco_att_sharded (queue-consuming attention modes all-gather
-    # the bank and run replicated; self_qk/self_qkv2/dual2 never need
-    # the full bank).  Parity: tests/test_moma_local_bn_mp{,_variants}.py.
+    # step_moco_att_sharded (round 5: queue-consuming attention modes
+    # ride ring flash attention — ops/ring_attention.py — so the full
+    # bank is never materialized; qk/self_qk/self_qkv2/dual2 never need
+    # it).  Parity: tests/test_moma_local_bn_mp{,_variants}.py.
 
     def step(state: MomaState, batch, rng):
         images = batch["image"]
@@ -536,9 +537,16 @@ def make_moma_train_step(
             k_local, keys_for_queue = k_emb, all_k
             if mem == "MoCoAtt":
                 if queue_sharded:
+                    # queue-consuming attention modes ride the ring path
+                    # (ops/ring_attention.py): the bank — raw or
+                    # transformed — is never gathered; shards circulate
+                    # over 'model' and the transformed rows stay sharded
+                    # into sharded_queue_logits_t.
                     logits, new_queue = step_moco_att_sharded(
                         state.queue, q, k_local, keys_for_queue, nce_t,
                         attn, attn_fns, MODEL_AXIS,
+                        ring_fns=heads.ring_attn_fns(params["cmo"],
+                                                     MODEL_AXIS),
                     )
                 else:
                     logits, new_queue = step_moco_att(
@@ -646,6 +654,15 @@ def make_moma_train_step(
         # linear in the previous value, so the averaged stats equal the
         # mean of the reference's per-rank stats at every step
         grads = dist.pmean(grads)
+        if (queue_sharded and mem == "MoCoAtt"
+                and attn not in ("qk", "self_qk", "self_qkv2", "dual2")):
+            # ring attention visits bank shards in per-rank rotated
+            # orders, so per-rank grads agree only to fp reassociation;
+            # pmean over 'model' keeps the replicated state bit-identical
+            # across model ranks (the non-ring paths are exactly
+            # replicated and skip this collective).
+            grads = jax.tree_util.tree_map(
+                lambda v: jax.lax.pmean(v, MODEL_AXIS), grads)
         new_bs = dist.pmean(new_bs)
         new_momentum_bs = dist.pmean(new_momentum_bs)
         # the key head is EMA-tracked, never SGD-trained (train_student_moma:343)

@@ -110,7 +110,7 @@ def _crd_idx_for_step(rs, batch_index, n_data):
 
 
 def run_reference(method, teacher, train_x, train_y, val_x, val_y,
-                  epochs, perturb=0.0):
+                  epochs, perturb=0.0, perturb_idx=0):
     torch = _ref_setup()
     import torch.nn as nn
     from distiller_zoo import DistillKL, SemCKDLoss
@@ -148,7 +148,7 @@ def run_reference(method, teacher, train_x, train_y, val_x, val_y,
 
     if perturb:
         with torch.no_grad():
-            next(model_s.parameters()).view(-1)[0] += perturb
+            next(model_s.parameters()).view(-1)[perturb_idx] += perturb
 
     snap = {
         "model_s": copy.deepcopy(model_s.state_dict()),
@@ -362,6 +362,10 @@ def main(argv=None):
     p.add_argument("--noise", type=float, default=0.3)
     p.add_argument("--chaos", type=str, default="crd",
                    help="methods to also chaos-floor (comma list or '')")
+    p.add_argument("--chaos_replicates", type=int, default=1,
+                   help="independent 1e-7 nudges (distinct element + "
+                        "sign) — a floor DISTRIBUTION, not one sample "
+                        "(VERDICT r4 next #5)")
     p.add_argument("--json", type=str, default="")
     a = p.parse_args(argv)
 
@@ -391,10 +395,19 @@ def main(argv=None):
         row["median_step_drift"] = round(float(np.median(
             np.abs(oc - rc) / (np.abs(rc) + 1e-9))), 5)
         if method in chaos_set:
-            print(f"[{method}] chaos-floor run...", flush=True)
-            ch = run_reference(method, teacher, train_x, train_y, val_x,
-                               val_y, a.epochs, perturb=1e-7)
-            row["chaos_floor_pts"] = round(abs(ch["acc"] - ref["acc"]), 3)
+            floors = []
+            for r in range(a.chaos_replicates):
+                sign = 1.0 if r % 2 == 0 else -1.0
+                idx = [0, 101, 57, 233, 11, 305, 178][r % 7]
+                print(f"[{method}] chaos-floor run {r + 1}/"
+                      f"{a.chaos_replicates} (idx={idx}, "
+                      f"{sign:+.0f}1e-7)...", flush=True)
+                ch = run_reference(method, teacher, train_x, train_y,
+                                   val_x, val_y, a.epochs,
+                                   perturb=sign * 1e-7, perturb_idx=idx)
+                floors.append(round(abs(ch["acc"] - ref["acc"]), 3))
+            row["chaos_floor_pts"] = max(floors)
+            row["chaos_floors"] = floors
         out[method] = row
         print(f"[{method}] {row}", flush=True)
 

@@ -1,14 +1,15 @@
 """bn='local' x --model_parallel for the non-MoCo mem variants (VERDICT
 r3 next #3): MoCoST / MoCoSSTT dual banks ride the 'model' axis via
 step_moco_{st,sstt}_sharded, and MoCoAtt composes via
-step_moco_att_sharded (queue-consuming attention modes all-gather the
-bank and run replicated; self_qk/dual2 never need the full bank).
+step_moco_att_sharded (round 5: queue-consuming attention modes ride
+RING flash attention — ops/ring_attention.py — the bank circulates in
+shards and is never materialized; qk/self_qk/dual2 never need it).
 
 Oracle: the SAME local-BN step on a data=2 mesh with the replicated
 bank(s) — identical protocol to test_moma_local_bn_mp.  Logit values
 are bit-identical by construction for the sharded_queue_logits path;
-gathered-bank attention is literally the same math on the same full
-tensor, so only f32 shard-order noise is admissible anywhere.
+the ring path reassociates the softmax accumulation across shards, so
+f32 shard-order noise is the only admissible deviation anywhere.
 """
 
 import jax
@@ -149,11 +150,12 @@ def test_mocosstt_sharded_matches_replicated():
 
 
 @needs_mesh
-@pytest.mark.parametrize("attn", ["self", "self_qk", "all", "dual", "dual2"])
+@pytest.mark.parametrize("attn", ["self", "self_qk", "qk", "all", "dual",
+                                  "dual2"])
 def test_mocoatt_sharded_matches_replicated(attn):
     """MoCoAtt: each attention family composes with the sharded bank —
-    'self' (atts_queue over the gathered bank), 'self_qk' (sharded
-    logits, bank untransformed), 'all' (flash-range concat over the
-    gathered bank), 'dual', and 'dual2' (no bank read).  2 steps: the
-    transformed-bank paths are the expensive ones on the CPU mesh."""
+    'self' (ring atts_queue over bank rows only), 'self_qk'/'qk'
+    (sharded logits, bank untransformed), 'all' (ring over [q;k;bank]),
+    'dual' (two chained rings), and 'dual2' (no bank read).  2 steps:
+    the ring paths are the expensive ones on the CPU mesh."""
     _compare("MoCoAtt", attn, n_steps=2)
