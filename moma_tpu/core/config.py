@@ -56,6 +56,9 @@ class DataConfig:
     crop: float = 0.2  # RandomResizedCrop lower scale bound
     aug_train: str = "RA"  # 'RA' | 'NULL'
     ra_config: str = "rand-n2-m10-mstd0.5"
+    # color-op-free RA op table (the reference's rand_augment_ops_cmc,
+    # dataset/RandAugment.py:383-389 — dead upstream, exposed here)
+    use_cmc: bool = False
     percent: float = 1.0  # subsample fraction (CRD sampling path)
     # stratified k-fold cross-validation over the train+val pool — the
     # reference's 5-fold loader capability (dataset/histo_dataset.py:848-
@@ -318,6 +321,9 @@ def _add_common_flags(p: argparse.ArgumentParser):
                         "rand_augment_transform grammar, RandAugment.py:"
                         "405-448: m/n/mstd/w sections; the reference "
                         "hardcodes rand-n2-m10-mstd0.5)")
+    p.add_argument("--use_cmc", action="store_true",
+                   help="color-op-free RandAugment op table (the "
+                        "reference's rand_augment_ops_cmc preset)")
     p.add_argument("--crop", type=float, default=0.2)
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--image_resize", action="store_true")
@@ -424,6 +430,7 @@ def _cfg_from_common(a) -> Config:
         crop=a.crop,
         aug_train=a.aug_train,
         ra_config=a.ra_config,
+        use_cmc=a.use_cmc,
         fold_idx=a.fold_idx,
         n_folds=a.n_folds,
     )

@@ -50,7 +50,9 @@ def make_histo_augment(cfg):
             # random_hflip; fused into the Pallas layer-1 kernel on TPU)
             x = rand_augment(x, k3, num_layers=n_layers, magnitude=magnitude,
                              magnitude_std=mstd, fill=RA_FILL, hflip_rng=k2,
-                             choice_weights=weights)
+                             choice_weights=weights,
+                             use_cmc=bool(getattr(cfg.data, "use_cmc",
+                                                  False)))
         else:
             x = random_hflip(x, k2)
         return normalize(x / 255.0, IMAGENET_MEAN, IMAGENET_STD)

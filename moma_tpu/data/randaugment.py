@@ -44,6 +44,21 @@ OP_NAMES = (
     "Solarize", "SolarizeAdd", "Color", "Contrast", "Brightness",
     "Sharpness", "ShearX", "ShearY", "TranslateXRel", "TranslateYRel",
 )
+# op id N_OPS (15) is a dispatch no-op: every `op == k` comparison in the
+# XLA stages falls through (identity LUT, a=1/b=0/c=0 enhance, sharp_f=1,
+# identity affine) and the Pallas kernel's scalar vector degenerates the
+# same way, so the rounded-integer image passes through exactly — this is
+# the CMC table's explicit 'Identity' op (dataset/RandAugment.py:333).
+IDENTITY_OP = N_OPS
+# The reference's color-op-free table for CMC-split inputs
+# (dataset/RandAugment.py:331-341, rand_augment_ops_cmc at :383-389).
+# Unreachable upstream (no caller passes use_cmc=True); ported as an
+# op-table preset selected by rand_augment(use_cmc=True).
+CMC_OP_NAMES = ("AutoContrast", "Identity", "Rotate", "Sharpness",
+                "ShearX", "ShearY", "TranslateXRel", "TranslateYRel")
+CMC_OP_IDS = tuple(
+    IDENTITY_OP if n == "Identity" else OP_NAMES.index(n)
+    for n in CMC_OP_NAMES)
 # the reference's experimental op-choice weight set 0
 # (dataset/RandAugment.py:346-363; selected by the 'w0' config section)
 _RAND_CHOICE_WEIGHTS_0 = {
@@ -499,6 +514,7 @@ def rand_augment(
     use_pallas: bool | None = None,
     hflip_rng: jax.Array | None = None,
     choice_weights: Sequence[float] | None = None,
+    use_cmc: bool = False,
 ) -> jax.Array:
     """rand-n{num_layers}-m{magnitude}-mstd{magnitude_std} on a uint8/float
     NHWC batch; returns float32 NHWC in [0,255].  PIL quantizes to uint8
@@ -531,7 +547,19 @@ def rand_augment(
     # column per layer.  fold_in(rng, num_layers) cannot collide with the
     # per-layer fold_in(rng, i), i < num_layers.
     ops_bk = None
-    if choice_weights is not None and num_layers > 0:
+    if use_cmc and num_layers > 0:
+        if choice_weights is not None:
+            # upstream this combination crashes: _select_rand_weights
+            # builds probs over the FULL 15-op table while the cmc op
+            # list has 8 entries (np.random.choice length mismatch,
+            # RandAugment.py:365-371 vs :383-389) — reject it loudly
+            raise ValueError("use_cmc cannot combine with 'w' choice "
+                             "weights (broken upstream too)")
+        idx = jax.random.randint(
+            jax.random.fold_in(rng, num_layers),
+            (x.shape[0], num_layers), 0, len(CMC_OP_IDS))
+        ops_bk = jnp.asarray(CMC_OP_IDS, jnp.int32)[idx]
+    elif choice_weights is not None and num_layers > 0:
         ops_bk = draw_ops_weighted(
             jax.random.fold_in(rng, num_layers), x.shape[0], num_layers,
             choice_weights,

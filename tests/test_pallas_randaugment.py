@@ -71,3 +71,16 @@ def test_rand_augment_hflip_rng_xla_path():
     got = RA.rand_augment(x_nhwc, k_ra, use_pallas=False,
                           hflip_rng=k_flip)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_pallas_layer_identity_op_exact():
+    """The CMC table's Identity op (id 15, a dispatch no-op) through the
+    KERNEL path: with the prob gate forced on, every stage's scalar
+    degenerates and the integer image passes through exactly."""
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randint(0, 256, (4, 3, 16, 16)).astype(np.float32))
+    got = ra_layer_pallas(
+        x, jax.random.PRNGKey(0), 10.0, 0.5, FILL, prob=1.0,
+        interpret=True,
+        op=jnp.full((4,), RA.IDENTITY_OP, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=0)

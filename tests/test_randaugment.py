@@ -294,3 +294,59 @@ def test_ra_config_reaches_histo_augment():
     cfg.data.ra_config = "rand-bogus5"
     with pytest.raises(ValueError, match="unknown RandAugment"):
         make_histo_augment(cfg)
+
+
+def test_cmc_op_table_preset():
+    """use_cmc: the color-op-free table (rand_augment_ops_cmc,
+    RandAugment.py:383-389).  The table maps to geometry/sharpness ops
+    plus the explicit Identity (a dispatch no-op id), the drawn ops land
+    only in the table, and Identity passes integers through exactly."""
+    # table contents: no LUT/color/enhance ops except AutoContrast+Sharpness
+    assert RA.CMC_OP_IDS == (0, RA.IDENTITY_OP, 3, 10, 11, 12, 13, 14)
+    for banned in ("Equalize", "Invert", "Solarize", "SolarizeAdd",
+                   "PosterizeTpu", "Color", "Contrast", "Brightness"):
+        assert banned not in RA.CMC_OP_NAMES
+
+    # Identity id is an exact pass-through of the integer image even
+    # when the prob gate fires (prob=1.0 forces it)
+    x = jnp.asarray(_img(3, 16)[None]).astype(jnp.float32)
+    x_nchw = jnp.transpose(x, (0, 3, 1, 2))
+    y = RA.randaugment_layer(
+        x_nchw, jax.random.PRNGKey(0), 10.0, 0.0, (124.0, 116.0, 104.0),
+        prob=1.0, op=jnp.full((1,), RA.IDENTITY_OP, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x_nchw))
+
+    # the use_cmc draw: reproduce rand_augment's internal stream and
+    # check every drawn id is in the table
+    rng = jax.random.PRNGKey(7)
+    idx = jax.random.randint(jax.random.fold_in(rng, 2), (64, 2),
+                             0, len(RA.CMC_OP_IDS))
+    ops = np.asarray(jnp.asarray(RA.CMC_OP_IDS, jnp.int32)[idx])
+    assert set(ops.ravel()).issubset(set(RA.CMC_OP_IDS))
+
+    # end-to-end on the XLA path; finite + in range
+    imgs = jnp.asarray(
+        np.random.RandomState(1).randint(0, 256, (4, 24, 24, 3), np.uint8))
+    out = RA.rand_augment(imgs, rng, use_cmc=True, use_pallas=False)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 255.0
+
+    # w-weights x cmc is broken upstream (15-prob vector vs 8 ops);
+    # we reject the combination loudly
+    with pytest.raises(ValueError, match="use_cmc"):
+        RA.rand_augment(imgs, rng, use_cmc=True,
+                        choice_weights=RA.select_rand_weights(0))
+
+
+def test_use_cmc_reaches_histo_augment():
+    """--use_cmc flows from the CLI into the augment stage."""
+    from moma_tpu.core.config import parse_teacher_args
+    from moma_tpu.data.histo_augment import make_histo_augment
+
+    cfg = parse_teacher_args(
+        "--model resnet8 --dataset prostate_hv --image_size 32 "
+        "--use_cmc".split())
+    assert cfg.data.use_cmc is True
+    fn = make_histo_augment(cfg)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    assert fn(imgs, jax.random.PRNGKey(0)).shape == (2, 32, 32, 3)
