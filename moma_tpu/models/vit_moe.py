@@ -98,7 +98,8 @@ class MoEMLP(nn.Module):
             pos_in_e = jnp.cumsum(oh, axis=0) - oh + counts  # (S, E)
             pos = jnp.sum(pos_in_e * oh, axis=-1)  # (S,)
             keep = (pos < cap).astype(jnp.float32)
-            slot = jax.nn.one_hot(pos, cap, dtype=jnp.float32) * keep[:, None]
+            slot = jax.nn.one_hot(pos.astype(jnp.int32), cap,
+                                  dtype=jnp.float32) * keep[:, None]
             dj = oh[:, :, None] * slot[:, None, :]  # (S, E, cap)
             dispatch = dispatch + dj
             combine = combine + dj * vals[:, j][:, None, None]
