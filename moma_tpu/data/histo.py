@@ -145,8 +145,20 @@ def load_histo_dataset(data_cfg) -> Tuple[ArrayDataset, ArrayDataset, ArrayDatas
 
 
 def load_histo_testset(name: str, root: str, image_size: int) -> ArrayDataset:
-    """Test-only sets with label remapping (kather16, prostate_ubc) —
-    get_histo_testloader capability (histo_dataset.py:650-779)."""
-    pairs = TEST_ONLY_PREPARERS[name](root)
+    """Test split for evaluation — the reference test.py's two modes:
+    dedicated external test-only sets with label remapping (kather16,
+    prostate_ubc; get_histo_testloader, histo_dataset.py:650-779), or a
+    standard dataset's own held-out test list (test.py evaluates trained
+    runs on the dataset's test manifest)."""
+    if name in TEST_ONLY_PREPARERS:
+        pairs = TEST_ONLY_PREPARERS[name](root)
+    elif name in PREPARERS:
+        _, _, pairs = PREPARERS[name](root)
+        if not pairs:
+            raise ValueError(f"dataset {name!r} has no test split under "
+                             f"{root!r}")
+    else:
+        known = sorted(set(PREPARERS) | set(TEST_ONLY_PREPARERS))
+        raise KeyError(f"unknown eval dataset {name!r} (known: {known})")
     cache = PackedCache(os.path.join(root, "_moma_pack"))
     return cache.build_or_open(pairs, image_size)

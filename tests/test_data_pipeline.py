@@ -252,3 +252,32 @@ def test_fold_flag_validation():
         parse_teacher_args(["--fold_idx", "0", "--n_folds", "1"])
     cfg = parse_teacher_args(["--fold_idx", "3"])
     assert "fold3of5" in cfg.run_name
+
+
+def test_load_histo_testset_standard_dataset_fallback(tmp_path):
+    """test_eval on a STANDARD dataset evaluates its held-out test split
+    (the reference test.py's main mode) — r5 regression: this KeyError'd
+    for prostate_hv because only TEST_ONLY_PREPARERS was consulted
+    (caught live by the canonical-lifecycle eval leg)."""
+    from PIL import Image
+
+    from moma_tpu.data.histo import load_histo_testset
+
+    rs = np.random.RandomState(0)
+    d = tmp_path / "patches_train_750_v0" / "ZT111_1"
+    d.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                        ).save(d / f"patch_{i}_{i}.jpg")
+    t = tmp_path / "patches_test_750_v0" / "patho_1" / "case1"
+    t.mkdir(parents=True)
+    for i, lbl in enumerate([2, 3, 1]):
+        Image.fromarray(rs.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                        ).save(t / f"p_{i}_{lbl}.jpg")
+
+    ds = load_histo_testset("prostate_hv", str(tmp_path), 16)
+    assert len(ds) == 3
+    assert sorted(ds.labels.tolist()) == [1, 2, 3]
+
+    with pytest.raises(KeyError, match="unknown eval dataset"):
+        load_histo_testset("nope", str(tmp_path), 16)
