@@ -75,13 +75,28 @@ def pick_blocks(N: int):
         bq = 128
     else:
         return None
+    # The minimal-pad pick is kept only when its forward block reaches
+    # 4096 — r5 on-chip evidence (IN-STEP, the only trustworthy compare
+    # on the relay): N=16640 (bk 4160) and N=65792 (bk 4128, one-stripe
+    # pad) run 484 / 231.9 img/s, but N=131328's zero-pad pick (bk 3648)
+    # collapsed the step to 48.6 img/s — its standalone forward measured
+    # 1848 ms vs 708 ms for a plain (4096, 2048) grid padded to the next
+    # 4096 multiple (scripts/tune_flash_bigN.py, .bench/r5_flash_
+    # 131328.json), and the 4096 grid restored the step to 86.2 img/s.
+    # Sub-4096 forward blocks on big N are a measured Mosaic pathology;
+    # ~3% padded keys are cheap by comparison.
+    # (Only above 32768 tokens: small Ns keep their exact small blocks —
+    # padding a 2048-token case to a 4096 grid would double its work.)
+    # the backward equally dislikes small key blocks (sweep: bk_b 1024
+    # cost +21% grad vs 2048 at N=65792), so floor it at 2048 too
+    min_bk_f = 4096 if N > 32768 else _FWD_BK_RANGE[0]
+    min_bk_b = 2048 if N > 32768 else _BWD_BK_RANGE[0]
     for npad in range(N, N + 16 * 2048 + 1, bq):
         bk_f = _pick_bk(npad, *_FWD_BK_RANGE)
         bk_b = _pick_bk(npad, *_BWD_BK_RANGE)
-        if bk_f is not None and bk_b is not None:
+        if (bk_f is not None and bk_f >= min_bk_f
+                and bk_b is not None and bk_b >= min_bk_b):
             return bq, bk_f, bk_b, npad
-    # unreachable in practice (any 4096 multiple admits 4096/2048), but
-    # keep the old fixed fallback as a safety net
     npad = -(-N // 4096) * 4096
     return bq, 4096, 2048, npad
 

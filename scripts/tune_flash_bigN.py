@@ -86,6 +86,15 @@ def candidates(N):
         t = (256, bk_f, bk_b, npad)
         if t not in cands:
             cands.append(t)
+    # r3-legacy exact divisors that violate the bf16 (16,128) min-tile
+    # 16-multiple rule (4104 % 16 == 8): included to measure whether
+    # Mosaic accepts them anyway — r3's N=131328 shipped bk=4104 and
+    # benched 89.1 img/s in-step, so either it ran or its fallback did
+    for bk in (4104, 2052, 4104 // 2 * 4):  # 4104, 2052, 8208
+        if N % bk == 0:
+            t = (256, bk, bk, N)
+            if t not in cands:
+                cands.append(t)
     return cands
 
 
@@ -110,15 +119,21 @@ def measure(N, iters, H=4, d=128):
                    "floor_fwd_ms": round(max(fc, fh), 2),
                    "floor_grad_ms": round(max(gc, gh), 2)}
             try:
-                fwd = jax.jit(lambda x: fa.streaming_attention(
-                    x, k, v, scale, True))
-                row["fwd_ms"] = round(_chain_time(fwd, q0, iters), 2)
+                # k/v as ARGUMENTS, not jit closures: closure constants
+                # ride the remote-compile request body and blow its size
+                # limit at big N (HTTP 413 — CLAUDE.md session-19)
+                fwd_kv = jax.jit(lambda x, kk, vv: fa.streaming_attention(
+                    x, kk, vv, scale, True))
+                row["fwd_ms"] = round(_chain_time(
+                    lambda x: fwd_kv(x, k, v), q0, iters), 2)
 
-                def loss(x):
+                def loss(x, kk, vv):
                     return jnp.sum(fa.streaming_attention(
-                        x, k, v, scale, True).astype(jnp.float32) ** 2)
-                g = jax.jit(lambda x: jax.grad(loss)(x).astype(jnp.bfloat16))
-                row["grad_ms"] = round(_chain_time(g, q0, max(iters // 2, 4)), 2)
+                        x, kk, vv, scale, True).astype(jnp.float32) ** 2)
+                g_kv = jax.jit(lambda x, kk, vv: jax.grad(loss)(
+                    x, kk, vv).astype(jnp.bfloat16))
+                row["grad_ms"] = round(_chain_time(
+                    lambda x: g_kv(x, k, v), q0, max(iters // 2, 4)), 2)
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 row["error"] = f"{type(e).__name__}: {e}"[:200]
             print(f"  N={N} {row}", flush=True)

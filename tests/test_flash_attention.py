@@ -156,12 +156,13 @@ def test_batch_token_big_is_differentiable():
 
 @pytest.mark.parametrize("N,want_bk,want_npad", [
     (16384, 4096, 16384), (16640, 4160, 16640), (17152, 4288, 17152),
-    # K=65536 (N=65792=2^8*257): no x16 divisor in band; the joint search
-    # pads ONE 256 stripe to 66048=2^9*3*43 and runs (4128, 2064)
+    # big-N regime (r5 on-chip, IN-STEP): sub-4096 forward blocks are a
+    # Mosaic pathology — N=131328's zero-pad pick (3648, 2304) collapsed
+    # the MoCoAtt step to 48.6 img/s; floored at (>=4096, >=2048) the
+    # search pads 3 stripes and runs (4128, 2064) at 88.2 img/s
+    # (.bench/r5_flash_131328.json, r5_k131072_4128.json)
     (65792, 4128, 66048),
-    # K=131072: the old stride-8 pick was 4104 (8 mod 16 — illegal for
-    # the bf16 (16,128) min tile); x16 picks 3648 with zero padding
-    (131328, 3648, 131328)])
+    (131328, 4128, 132096)])
 def test_streaming_pallas_block_k_picker(monkeypatch, N, want_bk, want_npad):
     """The Pallas route picks the LARGEST x16-aligned divisor in the
     measured-fast band [1024, 4608] (scripts/tune_flash.py on v5e:
@@ -187,16 +188,21 @@ def test_streaming_pallas_block_k_picker(monkeypatch, N, want_bk, want_npad):
 
 
 def test_pick_blocks_pads_primeish_n():
-    """No divisor of N itself in band (N/256 prime > 576): the joint
-    search pads minimally — here one 256 stripe reaches 164352=2^9*3*107
-    with large x16 blocks; the kernels mask the tail in-kernel."""
+    """Big-N primeish counts take the measured-fast 4096 grid (r5 sweep)
+    — padded keys are masked in-kernel; small-N primeish counts still
+    go through the minimal-pad joint search."""
     from moma_tpu.ops.flash_attention import pick_blocks
 
-    N = 256 * 641  # 164096; 641 prime, 16*641 = 10256 > 4608
+    N = 256 * 641  # 164096; 641 prime — big-N regime
     bq, bk_f, bk_b, npad = pick_blocks(N)
-    assert (bq, bk_f, bk_b, npad) == (256, 3424, 1712, N + 256)
+    assert (bq, bk_f, bk_b, npad) == (256, 4128, 2064, 165120)
+    assert bk_f >= 4096 and bk_b >= 2048  # big-N floors (r5 measured)
     assert npad % bk_f == 0 and npad % bk_b == 0
-    assert bk_f % 16 == 0 and bk_b % 16 == 0
+    # small-N: minimal-pad joint search unchanged (one 256 stripe)
+    n_small = 256 * 107  # 27392; 107 prime, 16*107 = 1712 in bwd band
+    bq, bk_f, bk_b, npad = pick_blocks(n_small)
+    assert npad % bk_f == 0 and npad % bk_b == 0 and npad >= n_small
+    assert bk_f % 16 == 0 and bk_b % 16 == 0 and npad - n_small <= 4096
 
 
 # ---- round 3: Pallas forward/backward kernels on CPU via interpret mode
