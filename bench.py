@@ -137,7 +137,8 @@ def bench_moma_histo(batch_size=64, image_size=512, steps=20, warmup=5,
     state = jax.device_put(state, replicated_sharding(mesh))
 
     augment = make_histo_augment(cfg)
-    step_fn = make_moma_train_step(cfg, heads, augment, donate=True)
+    step_fn = make_moma_train_step(cfg, heads, augment, donate=True,
+                                   kl_train_bn_override=True)
 
     rs = np.random.RandomState(0)
     batch = {

@@ -83,7 +83,8 @@ def build(nce_k: int):
     )
     state = jax.device_put(state, replicated_sharding(mesh))
     augment = make_histo_augment(cfg)
-    step_fn = make_moma_train_step(cfg, heads, augment, donate=False)
+    step_fn = make_moma_train_step(cfg, heads, augment, donate=False,
+                                   kl_train_bn_override=True)
     rs = np.random.RandomState(0)
     batch = {
         "image": jax.device_put(
