@@ -15,10 +15,18 @@ import os
 def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
-    # CPU runs (tests, the driver's dryrun) must NOT share the cache: the
-    # remote compile service produces CPU AOT entries with machine features
-    # the local host may lack (SIGILL risk on reload)
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # CPU runs (tests, the driver's dryrun) must NOT share the cache:
+    # persisted CPU AOT entries carry the COMPILING machine's features,
+    # and entries written on another host (rounds run on a fleet) can
+    # SIGILL on reload — observed as a dead executor thread leaving the
+    # other virtual devices stuck in an AllGather until the
+    # AwaitAndLogIfStuck check-failure aborts the process.  The env var
+    # alone is NOT the platform on this box (a site hook pins
+    # JAX_PLATFORMS=axon; CPU is selected via jax.config.update after
+    # import), so check the live config first.
+    platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if str(platforms).startswith("cpu"):
         return ""
 
     path = path or os.environ.get(
